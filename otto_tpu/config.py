@@ -1,0 +1,271 @@
+"""Configuration registry for the otto_tpu engine.
+
+Mirrors the semantics of the reference constants module (reference:
+config.py:1-227) but as typed, overridable dataclasses instead of a flat
+module of globals. Every constant that shapes an algorithm (time windows,
+count thresholds, retrieval caps, model hyper-parameters) is kept
+name-compatible so parity against the reference tables can be checked
+line by line.
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+from pathlib import Path
+from typing import Dict, List, Tuple
+
+# ---------------------------------------------------------------------------
+# Event types (reference: config.py:35-36)
+# ---------------------------------------------------------------------------
+TYPES: List[str] = ["clicks", "carts", "orders"]
+TYPE2ID: Dict[str, int] = {"clicks": 0, "carts": 1, "orders": 2}
+ID2TYPE: Dict[int, str] = {v: k for k, v in TYPE2ID.items()}
+
+# Weighted recall weights (reference: model/eval_submission.py:55)
+TYPE_WEIGHTS: Dict[str, float] = {"clicks": 0.1, "carts": 0.3, "orders": 0.6}
+
+# Submission cutoff (reference: config.py:31)
+KEEP_TOP_K = 20
+
+HOUR = 60 * 60
+DAY = 24 * HOUR
+
+
+@dataclasses.dataclass(frozen=True)
+class CoVisConfig:
+    """Co-visitation counting parameters (reference: config.py:38-104)."""
+
+    # Pair time-window filter applied at self-merge time
+    # (reference: config.py:41-42).
+    min_time_to_next: int = -DAY
+    max_time_to_next: int = DAY
+
+    # Per count-type |dt| cap (reference: config.py:43-49).
+    max_time_to_next_by_type: Dict[str, int] = dataclasses.field(
+        default_factory=lambda: {
+            "click_to_click": 12 * HOUR,
+            "click_to_cart_or_buy": DAY,
+            "cart_to_cart": DAY,
+            "cart_to_buy": DAY,
+            "buy_to_buy": DAY,
+        }
+    )
+
+    # (type_this, types_next) per count type (reference: config.py:81-88).
+    count_types: Dict[str, Tuple[int, Tuple[int, ...]]] = dataclasses.field(
+        default_factory=lambda: {
+            "click_to_click": (0, (0,)),
+            "click_to_cart_or_buy": (0, (1, 2)),
+            "cart_to_cart": (1, (1,)),
+            "cart_to_buy": (1, (2,)),
+            "buy_to_buy": (2, (2,)),
+        }
+    )
+
+    # Global min count for a pair to be kept (reference: config.py:56-62).
+    min_count_to_save: Dict[str, int] = dataclasses.field(
+        default_factory=lambda: {
+            "click_to_click": 10,
+            "click_to_cart_or_buy": 5,
+            "cart_to_cart": 2,
+            "cart_to_buy": 2,
+            "buy_to_buy": 2,
+        }
+    )
+    # Min count applied to partial aggregates during the hierarchical merge
+    # (reference: config.py:63).
+    min_count_in_part: Dict[str, int] = dataclasses.field(
+        default_factory=lambda: {"click_to_click": 2, "click_to_cart_or_buy": 2}
+    )
+    # Hard cap on pairs kept per matrix (reference: config.py:64).
+    max_pairs_to_save: int = 300_000_000
+
+    # Top-N co-visit neighbours used at retrieval time
+    # (reference: config.py:90-96).
+    retrieval_first_n: Dict[str, int] = dataclasses.field(
+        default_factory=lambda: {
+            "click_to_click": 10,
+            "click_to_cart_or_buy": 10,
+            "cart_to_cart": 20,
+            "cart_to_buy": 20,
+            "buy_to_buy": 20,
+        }
+    )
+
+    # Device-side accumulator capacity (pairs) before a hierarchical merge is
+    # forced. TPU analogue of MAX_ROWS_POLARS_GROUPBY (reference: config.py:52-53).
+    accumulator_capacity: int = 1 << 23
+
+    @property
+    def names(self) -> List[str]:
+        return list(self.count_types.keys())
+
+
+@dataclasses.dataclass(frozen=True)
+class RetrievalConfig:
+    """Candidate retrieval caps (reference: config.py:75-104 and
+    model/retrieve.py:490-510)."""
+
+    # Keep only the last N events per session by type (reference: config.py:76-79).
+    n_last_clicks: int = 99
+    n_last_carts: int = 99
+    n_last_orders: int = 99
+    n_most_frequent: int = 99
+
+    # Recency-adaptive trim (reference: model/retrieve.py:493-496):
+    # aid at recency order r keeps top max(3, 20 - 17/29*(r-1)) ranked pairs.
+    trim_max_at_order_1: int = 20
+    trim_min: int = 3
+    trim_min_at_order: int = 20
+
+    # Dense padded shapes for the TPU retrieval engine (no reference analogue:
+    # the reference works on ragged DataFrames; we pad).
+    max_session_aids: int = 64      # kept unique aids per session fed to sources
+    max_candidates: int = 512       # padded candidate set per session
+    session_len_buckets: Tuple[int, ...] = (8, 32, 128, 512)
+
+
+@dataclasses.dataclass(frozen=True)
+class Word2VecConfig:
+    """Skip-gram/negative-sampling embedding model
+    (reference: config.py:106-191 registry entries)."""
+
+    name: str = "w2v-all"
+    types: Tuple[int, ...] = (0, 1, 2)   # event types used as corpus filter
+    vector_size: int = 100
+    window: int = 10
+    min_count: int = 5
+    negatives: int = 8                    # SGNS negatives per positive
+    batch_size: int = 65536
+    epochs: int = 3
+    learning_rate: float = 0.025
+    min_learning_rate: float = 1e-4
+    subsample_t: float = 1e-3             # frequent-word subsampling threshold
+    ns_exponent: float = 0.75             # unigram^0.75 negative table
+    seed: int = 42
+
+    # kNN retrieval over the trained table (reference: config.py:109,124-125).
+    knn_k: int = 20
+    knn_first_n_aids: int = 600_000
+
+    # Padded embedding dim for MXU friendliness; actual vectors use the first
+    # `vector_size` dims, rest is zero. 128 = one MXU lane tile.
+    padded_dim: int = 128
+
+
+# The registry of w2vec variants (reference: config.py:110-191): the reference
+# trains 4 models (2 aliases x {all types, carts+orders}); per split alias we
+# train 2.
+W2VEC_MODELS: Dict[str, Word2VecConfig] = {
+    "w2v-all": Word2VecConfig(name="w2v-all", types=(0, 1, 2)),
+    "w2v-1-2": Word2VecConfig(name="w2v-1-2", types=(1, 2)),
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class KMeansConfig:
+    """Session clustering (reference: config.py:193-196,
+    model/kmeans_sessions.py:142-161)."""
+
+    n_clusters_to_find: Tuple[int, ...] = (50,)
+    n_clusters_to_join: Tuple[int, ...] = (1, 50)
+    max_iter: int = 100
+    tol: float = 1e-3
+    seed: int = 42
+    # Session embedding weights (reference: model/kmeans_sessions.py:45-61).
+    type_weights: Tuple[float, float, float] = (0.1, 0.3, 0.6)
+    time_half_window: int = 3 * DAY
+    min_time_weight: float = 0.10
+
+
+@dataclasses.dataclass(frozen=True)
+class PopularityConfig:
+    """Cluster-popularity counting (reference: model/count_popularity.py)."""
+
+    keep_top_k: int = KEEP_TOP_K
+    recent_window: int = 7 * DAY
+    rank_clip: int = 999
+
+
+@dataclasses.dataclass(frozen=True)
+class RankerConfig:
+    """LambdaRank scoring tower (replaces LightGBM lambdarank,
+    reference: config.py:207-227). The MLP tower is the one intentional model
+    class change (see SURVEY.md §7 'Hard parts')."""
+
+    hidden_dims: Tuple[int, ...] = (256, 128, 64)
+    dropout: float = 0.1
+    learning_rate: float = 3e-4
+    weight_decay: float = 1e-5
+    epochs: int = 3
+    batch_sessions: int = 256            # sessions per step
+    max_group: int = 128                 # padded candidates per session group
+    eval_at: int = 20                    # ndcg@20 (reference: config.py:224)
+    seed: int = 42
+    sigma: float = 1.0                   # lambdarank pairwise logistic scale
+
+    # Negative downsampling (reference: config.py:203-204).
+    neg_to_pos_ratio: int = 40
+    max_neg_per_session: int = 100
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """Dataset / split parameters (reference: etl/split_to_train_test.sh,
+    etl/jsonl_to_parquet.py)."""
+
+    test_days: int = 7                    # carve-out window for the local split
+    chunk_sessions: int = 100_000         # ingestion chunk (reference: etl/jsonl_to_parquet.py:59)
+    seed: int = 42
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh layout. Axes: 'data' (session/batch sharding over ICI+DCN)
+    and 'model' (row-sharded embedding tables / count shards)."""
+
+    data_axis: str = "data"
+    model_axis: str = "model"
+    # -1 = all devices on the data axis (pure DP) unless overridden.
+    data_parallel: int = -1
+    model_parallel: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    """Root configuration object."""
+
+    work_dir: str = "artifacts"
+    covis: CoVisConfig = dataclasses.field(default_factory=CoVisConfig)
+    retrieval: RetrievalConfig = dataclasses.field(default_factory=RetrievalConfig)
+    w2vec: Dict[str, Word2VecConfig] = dataclasses.field(
+        default_factory=lambda: dict(W2VEC_MODELS)
+    )
+    kmeans: KMeansConfig = dataclasses.field(default_factory=KMeansConfig)
+    popularity: PopularityConfig = dataclasses.field(default_factory=PopularityConfig)
+    ranker: RankerConfig = dataclasses.field(default_factory=RankerConfig)
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+DEFAULT = Config()
+
+
+# ---------------------------------------------------------------------------
+# Logging bootstrap (reference: config.py:18-27) — but opt-in, not at import.
+# ---------------------------------------------------------------------------
+def setup_logging(work_dir: str | None = None, level: int = logging.INFO) -> None:
+    handlers: List[logging.Handler] = [logging.StreamHandler()]
+    if work_dir is not None:
+        Path(work_dir).mkdir(parents=True, exist_ok=True)
+        handlers.append(logging.FileHandler(os.path.join(work_dir, "logs.log")))
+    logging.basicConfig(
+        format="%(asctime)s - %(name)s - %(levelname)s - %(message)s",
+        handlers=handlers,
+        level=level,
+        force=True,
+    )

@@ -1,0 +1,132 @@
+"""Co-visitation counting vs a NumPy oracle implementing the reference
+semantics (reference: model/count_co_events.py:17-77) directly."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from otto_tpu.config import CoVisConfig
+from otto_tpu.data.schema import Events
+from otto_tpu.data.synthetic import SyntheticSpec, generate
+from otto_tpu.engine.covis import CoVisCounter, build_retrieval_tables
+from otto_tpu.ops import counts as counts_ops
+from otto_tpu.ops import segment as seg
+
+SENT = int(seg.SENTINEL)
+
+
+def oracle_counts(ev: Events, cfg: CoVisConfig):
+    """Direct per-session double loop replicating the polars self-join."""
+    out = {name: {} for name in cfg.names}
+    # dedup rows
+    rows = sorted(set(zip(ev.session.tolist(), ev.aid.tolist(), ev.ts.tolist(), ev.type.tolist())))
+    by_sess = {}
+    for s, a, t, ty in rows:
+        by_sess.setdefault(s, []).append((a, t, ty))
+    for s, evs in by_sess.items():
+        for i, (a_i, t_i, ty_i) in enumerate(evs):
+            for j, (a_j, t_j, ty_j) in enumerate(evs):
+                if i == j:
+                    continue
+                dt = t_j - t_i
+                if dt < cfg.min_time_to_next or dt > cfg.max_time_to_next:
+                    continue
+                for name, (type_this, types_next) in cfg.count_types.items():
+                    if ty_i != type_this or ty_j not in types_next:
+                        continue
+                    if abs(dt) > cfg.max_time_to_next_by_type[name]:
+                        continue
+                    key = (a_i, a_j)
+                    out[name][key] = out[name].get(key, 0) + 1
+    return out
+
+
+def make_events(n_sessions=300, seed=3):
+    spec = SyntheticSpec(
+        n_sessions=n_sessions, n_aids=500, max_len=24, mean_len=8, seed=seed
+    )
+    return generate(spec)
+
+
+def table_to_dict(t):
+    a = np.asarray(t.aid)
+    b = np.asarray(t.aid_next)
+    c = np.asarray(t.count)
+    n = int(t.n)
+    return {(int(a[i]), int(b[i])): int(c[i]) for i in range(n)}
+
+
+def test_covis_counter_matches_oracle():
+    ev = make_events()
+    cfg = CoVisConfig()
+    counter = CoVisCounter(cfg, capacity=1 << 15, pair_budget=1 << 14,
+                           bucket_lens=(8, 32))
+    counter.update(ev)
+    # finalize with min_count=1 to compare raw counts
+    got = {
+        name: table_to_dict(
+            counts_ops.finalize(t, 1, cfg.max_pairs_to_save)
+        )
+        for name, t in counter.tables.items()
+    }
+    want = oracle_counts(ev, cfg)
+    for name in cfg.names:
+        assert got[name] == want[name], f"mismatch for {name}"
+
+
+def test_covis_counter_chunked_equals_single():
+    """Streaming chunks of sessions must equal one-shot counting."""
+    ev = make_events(200, seed=5)
+    cfg = CoVisConfig()
+    one = CoVisCounter(cfg, capacity=1 << 15, bucket_lens=(8, 32))
+    one.update(ev)
+
+    two = CoVisCounter(cfg, capacity=1 << 15, bucket_lens=(8, 32))
+    mid = ev.session < 100
+    two.update(ev.select(mid))
+    two.update(ev.select(~mid))
+
+    for name in cfg.names:
+        t1 = table_to_dict(counts_ops.finalize(one.tables[name], 1, 10**9))
+        t2 = table_to_dict(counts_ops.finalize(two.tables[name], 1, 10**9))
+        assert t1 == t2
+
+
+def test_merge_overflow_keeps_top_counts():
+    t = counts_ops.empty_table(4)
+    aid = jnp.array([1, 2, 3, 4, 5, 6], jnp.int32)
+    nxt = jnp.array([0, 0, 0, 0, 0, 0], jnp.int32)
+    cnt = jnp.array([10, 2, 30, 1, 50, 5], jnp.int32)
+    t = counts_ops.merge_into(t, aid, nxt, cnt)
+    d = table_to_dict(t)
+    assert d == {(5, 0): 50, (3, 0): 30, (1, 0): 10, (6, 0): 5}
+
+
+def test_finalize_min_count():
+    t = counts_ops.empty_table(8)
+    aid = jnp.array([1, 2, 3], jnp.int32)
+    nxt = jnp.array([9, 9, 9], jnp.int32)
+    cnt = jnp.array([10, 2, 5], jnp.int32)
+    t = counts_ops.merge_into(t, aid, nxt, cnt)
+    f = counts_ops.finalize(t, 5, 10**9)
+    assert table_to_dict(f) == {(1, 9): 10, (3, 9): 5}
+
+
+def test_build_retrieval_tables():
+    t = counts_ops.empty_table(16)
+    #            aid=7 neighbours: 1(c=100), 2(c=50), 3(c=10); aid=8: 4(c=20)
+    aid = jnp.array([7, 7, 7, 8], jnp.int32)
+    nxt = jnp.array([3, 1, 2, 4], jnp.int32)
+    cnt = jnp.array([10, 100, 50, 20], jnp.int32)
+    t = counts_ops.merge_into(t, aid, nxt, cnt)
+    tabs = build_retrieval_tables(t, n_aids=10, first_n=2)
+    nbr = np.asarray(tabs.neighbor)
+    assert nbr[7].tolist() == [1, 2]  # top-2 by count, 3 trimmed
+    assert nbr[8].tolist() == [4, -1]
+    cnt_t = np.asarray(tabs.count)
+    assert cnt_t[7].tolist() == [100, 50]
+    crel = np.asarray(tabs.count_rel)
+    assert crel[7].tolist() == [100, 50]  # 100/100, 50/100
+    assert crel[8, 0] == 100
+    # count_pop: min=10, q9999 == max=100 (tiny table) -> (100-10)/90*10000
+    cpop = np.asarray(tabs.count_pop)
+    assert cpop[7, 0] == 10_000

@@ -1,0 +1,124 @@
+"""Data layer tests: synthetic generator, splitter, batching."""
+import numpy as np
+import pytest
+
+from otto_tpu.data.batching import dedup_events, pack_sessions, iter_microbatches
+from otto_tpu.data.schema import Events, Labels
+from otto_tpu.data.split import split_events
+from otto_tpu.data.synthetic import SyntheticSpec, generate
+
+DAY = 24 * 60 * 60
+
+
+def test_generate_schema():
+    ev = generate(SyntheticSpec(n_sessions=500, n_aids=1000, seed=1))
+    assert ev.session.dtype == np.int32
+    assert ev.type.dtype == np.int8
+    assert set(np.unique(ev.type)) <= {0, 1, 2}
+    assert ev.aid.min() >= 0 and ev.aid.max() < 1000
+    # sessions sorted by (session, ts)
+    assert np.all(np.diff(ev.session) >= 0)
+    lens = np.bincount(ev.session - ev.session.min())
+    assert lens[lens > 0].min() >= 2
+    # funnel: clicks dominate
+    frac_clicks = np.mean(ev.type == 0)
+    assert frac_clicks > 0.6
+
+
+def test_generate_has_sequential_structure():
+    """Co-visitation must be informative: items co-occur within categories."""
+    spec = SyntheticSpec(n_sessions=2000, n_aids=2000, seed=2)
+    ev = generate(spec)
+    # successive events within a session should repeat aids more often than chance
+    same = 0
+    total = 0
+    s = ev.session
+    a = ev.aid
+    for i in range(len(ev) - 1):
+        if s[i] == s[i + 1]:
+            total += 1
+            if a[i] == a[i + 1]:
+                same += 1
+    assert same / total > 0.05  # revisits happen
+
+
+def test_split_semantics():
+    ev = generate(SyntheticSpec(n_sessions=3000, n_aids=500, span_days=28, seed=3))
+    sp = split_events(ev, test_days=7, seed=0)
+    cutoff = int(ev.ts.max()) - 7 * DAY
+    # all train events strictly before cutoff
+    assert sp.train.ts.max() < cutoff
+    # test sessions start at/after cutoff
+    t_sess, t_starts = np.unique(sp.test.session, return_index=True)
+    ts_sorted = sp.test  # sorted already
+    first_ts = ts_sorted.ts[t_starts]
+    assert first_ts.min() >= cutoff
+    # no overlap between train and test session ids
+    assert not set(np.unique(sp.train.session)) & set(t_sess)
+    # every labeled session is a visible test session
+    assert set(np.unique(sp.labels.session)) <= set(t_sess)
+    # clicks labels are unique per session
+    cl = sp.labels.for_type(0)
+    assert len(cl.session) == len(np.unique(cl.session))
+    # labels exist
+    assert len(sp.labels) > 0
+
+
+def test_pack_sessions_roundtrip():
+    ev = generate(SyntheticSpec(n_sessions=400, n_aids=300, max_len=40, seed=4))
+    padded = pack_sessions(ev, bucket_lens=(8, 32, 64))
+    total_sessions = sum(p.n_sessions for p in padded)
+    assert total_sessions == len(np.unique(ev.session))
+    # events survive packing (no session longer than largest bucket here)
+    total_events = sum(int(p.length.sum()) for p in padded)
+    assert total_events == len(ev)
+    for p in padded:
+        m = p.valid_mask()
+        assert np.all(p.aid[m] >= 0)
+        assert np.all(p.aid[~m] == -1)
+        # ts non-decreasing within a session
+        for i in range(min(5, p.n_sessions)):
+            ln = p.length[i]
+            assert np.all(np.diff(p.ts[i, :ln]) >= 0)
+
+
+def test_pack_truncates_to_last():
+    ev = Events(
+        session=np.zeros(10, np.int32),
+        aid=np.arange(10, dtype=np.int32),
+        ts=np.arange(10, dtype=np.int32),
+        type=np.zeros(10, np.int8),
+    )
+    (p,) = pack_sessions(ev, bucket_lens=(4,))
+    assert p.length[0] == 4
+    assert p.aid[0].tolist() == [6, 7, 8, 9]  # last 4 events
+
+
+def test_iter_microbatches_pads():
+    ev = generate(SyntheticSpec(n_sessions=10, n_aids=50, seed=5))
+    (p,) = pack_sessions(ev, bucket_lens=(64,))
+    bs = list(iter_microbatches(p, 4))
+    assert all(b.n_sessions == 4 for b in bs)
+    assert sum(int((b.session >= 0).sum()) for b in bs) == p.n_sessions
+
+
+def test_dedup_events():
+    ev = Events(
+        session=np.array([1, 1, 1], np.int32),
+        aid=np.array([5, 5, 5], np.int32),
+        ts=np.array([10, 10, 11], np.int32),
+        type=np.array([0, 0, 0], np.int8),
+    )
+    d = dedup_events(ev)
+    assert len(d) == 2
+
+
+def test_events_parquet_roundtrip(tmp_path):
+    ev = generate(SyntheticSpec(n_sessions=50, n_aids=100, seed=6))
+    path = str(tmp_path / "ev.parquet")
+    ev.to_parquet(path)
+    ev2 = Events.from_parquet(path)
+    assert np.array_equal(ev.session, ev2.session)
+    assert np.array_equal(ev.aid, ev2.aid)
+    assert np.array_equal(ev.ts, ev2.ts)
+    assert np.array_equal(ev.type, ev2.type)

@@ -139,8 +139,8 @@ class Word2VecConfig:
     negatives: int = 8                    # SGNS negatives per positive
     batch_size: int = 65536
     epochs: int = 3
-    learning_rate: float = 0.025
-    min_learning_rate: float = 1e-4
+    learning_rate: float = 0.25   # Adagrad base lr (per-row adaptive)
+    min_learning_rate: float = 0.05
     subsample_t: float = 1e-3             # frequent-word subsampling threshold
     ns_exponent: float = 0.75             # unigram^0.75 negative table
     seed: int = 42

@@ -100,6 +100,26 @@ def build_retrieval_tables(table: CountTable, n_aids: int, first_n: int) -> CoVi
     return CoVisTables(nbr, cnt_t, cpop_t, ppop_t, crel_t)
 
 
+@partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
+def covis_update_step(
+    plan: pairs_ops.CoVisPlan,
+    tables: Tuple[CountTable, ...],
+    aid: jnp.ndarray,
+    ts: jnp.ndarray,
+    type_: jnp.ndarray,
+) -> Tuple[CountTable, ...]:
+    """ONE compiled program per bucket shape: emit all 5 pair streams,
+    map-side compress each, merge into the donated accumulators. This is the
+    whole per-chunk counting stage of the reference
+    (model/count_co_events.py:91-100) as a single XLA executable."""
+    streams = pairs_ops.emit_pairs(aid, ts, type_, plan)
+    new_tables = []
+    for (fa, fb, m), table in zip(streams, tables):
+        ua, ub, uc, _ = counts_ops.compress_pairs(fa, fb, m)
+        new_tables.append(counts_ops.merge_into_impl(table, ua, ub, uc))
+    return tuple(new_tables)
+
+
 class CoVisCounter:
     """Stateful device-side counter over streamed event chunks."""
 
@@ -111,12 +131,17 @@ class CoVisCounter:
         bucket_lens: Sequence[int] = (8, 32, 128, 512),
     ):
         self.cfg = cfg
+        self.plan = pairs_ops.make_plan(cfg)
         self.capacity = capacity or cfg.accumulator_capacity
         self.pair_budget = pair_budget
         self.bucket_lens = tuple(bucket_lens)
-        self.tables: Dict[str, CountTable] = {
-            name: counts_ops.empty_table(self.capacity) for name in cfg.names
-        }
+        self._tables: Tuple[CountTable, ...] = tuple(
+            counts_ops.empty_table(self.capacity) for _ in cfg.names
+        )
+
+    @property
+    def tables(self) -> Dict[str, CountTable]:
+        return dict(zip(self.cfg.names, self._tables))
 
     def update(self, events: Events) -> None:
         """Count all co-event pairs in a chunk of sessions. Sessions must be
@@ -127,15 +152,13 @@ class CoVisCounter:
             L = padded.max_len
             s_batch = pairs_ops.pair_budget_sessions(L, self.pair_budget)
             for mb in iter_microbatches(padded, s_batch):
-                self._update_padded(
-                    jnp.asarray(mb.aid), jnp.asarray(mb.ts), jnp.asarray(mb.type)
+                self._tables = covis_update_step(
+                    self.plan,
+                    self._tables,
+                    jnp.asarray(mb.aid),
+                    jnp.asarray(mb.ts),
+                    jnp.asarray(mb.type),
                 )
-
-    def _update_padded(self, aid, ts, type_) -> None:
-        streams = pairs_ops.emit_pairs(aid, ts, type_, self.cfg)
-        for name, pb in streams.items():
-            ua, ub, uc, _ = counts_ops.compress_pairs(pb.aid, pb.aid_next, pb.valid)
-            self.tables[name] = counts_ops.merge_into(self.tables[name], ua, ub, uc)
 
     def finalize(self) -> Dict[str, CountTable]:
         """Global prune per count type (reference: model/count_co_events.py:171-175)."""

@@ -1,0 +1,100 @@
+"""Session embeddings + w2vec kNN tables (C9, C10).
+
+Session embedding = type- and recency-weighted mean of member-aid w2vec
+vectors (reference: model/kmeans_sessions.py:40-86):
+  weight = weight_time * weight_type
+  weight_time = clip(1 - (max_ts - ts) / 3d, min=0.10)
+  weight_type = {click: .1, cart: .3, order: .6}
+Missing-aid embeddings contribute zeros but их weight still enters the
+denominator (reference joins then fill_null(0), :63).
+
+The kNN tables replace the faiss IVF query loop (reference:
+model/w2vec_aids.py:125-206): dense [n_aids, k] neighbour/distance tables
+from exact MXU search; rank == column index + 1 (exact search returns
+neighbours distance-ascending, matching rank_w2vec semantics :170).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from otto_tpu.data.batching import PaddedSessions
+from otto_tpu.models.word2vec import Word2Vec
+from otto_tpu.ops.knn import knn_search
+
+DAY = 24 * 60 * 60
+
+
+@partial(jax.jit, static_argnums=())
+def session_embedding_batch(
+    aid: jnp.ndarray,      # [S, L] int32, -1 pad
+    ts: jnp.ndarray,       # [S, L] int32
+    type_: jnp.ndarray,    # [S, L] int32
+    emb_table: jnp.ndarray,  # [A, D] float32 (0 for missing aids)
+) -> jnp.ndarray:
+    valid = aid >= 0
+    max_ts = jnp.max(jnp.where(valid, ts, -(2**31 - 1)), axis=1, keepdims=True)
+    w_time = jnp.clip(
+        1.0 - (max_ts - ts).astype(jnp.float32) / (3 * DAY), 0.10, None
+    )
+    type_w = jnp.array([0.1, 0.3, 0.6], jnp.float32)
+    w_type = type_w[jnp.clip(type_, 0, 2)]
+    w = jnp.where(valid, w_time * w_type, 0.0)            # [S, L]
+    vecs = emb_table[jnp.clip(aid, 0, emb_table.shape[0] - 1)]  # [S, L, D]
+    num = jnp.einsum("sl,sld->sd", w, vecs)
+    den = jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1e-9)
+    return num / den
+
+
+def compute_session_embeddings(
+    padded_batches, emb_table: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Host driver over bucketed batches -> (session_ids [N], emb [N, D])."""
+    table = jnp.asarray(emb_table)
+    sids, embs = [], []
+    for p in padded_batches:
+        e = session_embedding_batch(
+            jnp.asarray(p.aid), jnp.asarray(p.ts), jnp.asarray(p.type), table
+        )
+        keep = p.session >= 0
+        sids.append(p.session[keep])
+        embs.append(np.asarray(e)[keep])
+    session = np.concatenate(sids)
+    emb = np.concatenate(embs)
+    order = np.argsort(session)
+    return session[order], emb[order]
+
+
+class KnnTables(NamedTuple):
+    """Dense per-aid w2vec neighbour tables (reference df_knns columns
+    aid, aid_next, dist_w2vec, rank_w2vec — model/w2vec_aids.py:167-171)."""
+
+    neighbor: np.ndarray  # [A, k] int32, -1 pad (aids without neighbours)
+    dist: np.ndarray      # [A, k] float32 squared-L2 (faiss METRIC_L2 analogue)
+
+
+def build_knn_tables(
+    model: Word2Vec, n_aids: int, k: int | None = None, first_n: int | None = None
+) -> KnnTables:
+    """Search neighbours for the `first_n` most frequent words
+    (reference: model/w2vec_aids.py:203 words[:first_n_aids])."""
+    cfg = model.cfg
+    k = k or cfg.knn_k
+    first_n = min(first_n or cfg.knn_first_n_aids, model.vocab.size)
+    emb = model.emb.astype(np.float32)
+    queries = emb[:first_n]
+    scores, idx = knn_search(queries, emb, k, metric="l2")
+    nbr_aid = model.vocab.aid_of_word[idx]          # word idx -> aid
+    nbr_aid = np.where(idx >= 0, nbr_aid, -1)
+    dist = -scores  # score was negated squared L2
+
+    neighbor = np.full((n_aids, k), -1, np.int32)
+    dist_t = np.zeros((n_aids, k), np.float32)
+    q_aids = model.vocab.aid_of_word[:first_n]
+    neighbor[q_aids] = nbr_aid
+    dist_t[q_aids] = dist
+    return KnnTables(neighbor, dist_t)

@@ -1,0 +1,108 @@
+"""Recall@k evaluators (C14, C19).
+
+Semantics exactly match the reference scorer (reference:
+model/eval_submission.py:44-63):
+  * per (session, type): true = min(k, n_labels); hit = |topk ∩ labels|
+  * recall_type = sum(hit) / sum(true) over sessions WITH labels
+  * total = 0.1*clicks + 0.3*carts + 0.6*orders
+
+And the retrieval evaluator's multi-cutoff variant (reference:
+model/eval_retrieved.py:57-114): recall of the retrieved candidate set at
+top20/100/200/all assuming ideal ranking.
+"""
+from __future__ import annotations
+
+from typing import Dict, Mapping, Optional, Sequence
+
+import numpy as np
+
+from otto_tpu.config import TYPE2ID, TYPE_WEIGHTS, TYPES
+from otto_tpu.data.schema import Labels
+
+
+def _hits_per_session(
+    pred_sessions: np.ndarray,  # [P] session id per prediction row
+    pred_aids: np.ndarray,      # [P, K] predicted aids (-1 pad), rank order
+    labels: Labels,
+    cutoffs: Sequence[int],
+    truth_cap: int = 20,
+) -> Dict[int, Dict[str, float]]:
+    """For each type: {cutoff: recall}."""
+    out: Dict[int, Dict[str, float]] = {}
+    K = pred_aids.shape[1]
+    order = np.argsort(pred_sessions, kind="stable")
+    ps = pred_sessions[order]
+    pa = pred_aids[order]
+
+    for type_id in (0, 1, 2):
+        lab = labels.for_type(type_id)
+        if len(lab) == 0:
+            out[type_id] = {str(c): 0.0 for c in cutoffs} | {"all": 0.0}
+            continue
+        lorder = np.lexsort((lab.aid, lab.session))
+        ls, la = lab.session[lorder], lab.aid[lorder]
+        # truth per session, capped (reference: model/eval_submission.py:48)
+        u_sess, l_start = np.unique(ls, return_index=True)
+        l_end = np.append(l_start[1:], len(ls))
+        true = np.minimum(l_end - l_start, truth_cap)
+
+        # locate prediction rows for labeled sessions
+        p_idx = np.searchsorted(ps, u_sess)
+        has_pred = (p_idx < len(ps)) & (ps[np.minimum(p_idx, len(ps) - 1)] == u_sess)
+
+        hits = {c: np.zeros(len(u_sess), np.int64) for c in cutoffs}
+        hits_all = np.zeros(len(u_sess), np.int64)
+        for si in np.nonzero(has_pred)[0]:
+            preds = pa[p_idx[si]]
+            labs = set(la[l_start[si] : l_end[si]].tolist())
+            found_rank = [r for r, a in enumerate(preds) if a >= 0 and a in labs]
+            hits_all[si] = min(len(found_rank), truth_cap)
+            for c in cutoffs:
+                hits[c][si] = min(sum(1 for r in found_rank if r < c), truth_cap)
+
+        res = {str(c): float(hits[c].sum()) / float(true.sum()) for c in cutoffs}
+        res["all"] = float(hits_all.sum()) / float(true.sum())
+        out[type_id] = res
+    return out
+
+
+def evaluate_topk(
+    pred_by_type: Mapping[str, tuple],
+    labels: Labels,
+    k: int = 20,
+) -> Dict[str, float]:
+    """Submission-style eval (C19). pred_by_type maps 'clicks'/'carts'/
+    'orders' -> (sessions [N], aids [N, K]); aids in rank order, -1 pad.
+    Returns {'clicks': r, 'carts': r, 'orders': r, 'total': weighted}."""
+    out: Dict[str, float] = {}
+    total = 0.0
+    for tname in TYPES:
+        sessions, aids = pred_by_type[tname]
+        aids = aids[:, :k]
+        res = _hits_per_session(sessions, aids, labels, cutoffs=(k,))
+        r = res[TYPE2ID[tname]][str(k)]
+        out[tname] = r
+        total += TYPE_WEIGHTS[tname] * r
+    out["total"] = total
+    return out
+
+
+def recall_at_k(
+    sessions: np.ndarray,
+    aids: np.ndarray,
+    labels: Labels,
+    cutoffs: Sequence[int] = (20, 100, 200),
+) -> Dict[str, Dict[str, float]]:
+    """Retrieval-ceiling eval (C14): recall of the (ideally ranked) candidate
+    set at several cutoffs, per type + weighted total
+    (reference: model/eval_retrieved.py:57-114)."""
+    res = _hits_per_session(sessions, aids, labels, cutoffs=cutoffs)
+    out: Dict[str, Dict[str, float]] = {}
+    keys = [str(c) for c in cutoffs] + ["all"]
+    for tname, tid in TYPE2ID.items():
+        out[tname] = {f"top{c}": res[tid][c] for c in keys}
+    out["total"] = {
+        f"top{c}": sum(TYPE_WEIGHTS[t] * out[t][f"top{c}"] for t in TYPES)
+        for c in keys
+    }
+    return out

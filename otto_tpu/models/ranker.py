@@ -1,0 +1,289 @@
+"""LambdaRank scoring tower (C16/C17).
+
+Replaces LightGBM's lambdarank GBDT (reference: config.py:207-227,
+model/train_lgbm_rankers.py:110-129) with an MLP scoring tower trained with
+the LambdaRank pairwise loss over per-session candidate groups — the one
+intentional model-class change (BASELINE north star; GBDT tree growth is not
+TPU-idiomatic, a batched pairwise tower is pure MXU work).
+
+Semantics kept from the reference:
+  * listwise groups = sessions, one group per session
+    (reference: model/train_lgbm_rankers.py:56 group_counts)
+  * objective = lambdarank with |dNDCG@20| pair weights
+    (reference: config.py:207-227 'lambdarank', eval_at [20])
+  * per-target models: clicks / carts / orders trained independently
+  * feature set = all retrieval feature columns
+    (reference: model/train_lgbm_rankers.py:38-40)
+
+Data parallel: one session group never crosses a device boundary, so dp
+sharding over the batch axis + psum of grads is exact.
+"""
+from __future__ import annotations
+
+import dataclasses
+import logging
+from functools import partial
+from typing import Iterator, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from otto_tpu.config import RankerConfig
+
+log = logging.getLogger(__name__)
+
+
+class RankerParams(NamedTuple):
+    norm_mean: jnp.ndarray   # [F]
+    norm_std: jnp.ndarray    # [F]
+    weights: Tuple           # tuple of (W, b) per layer
+
+
+def _log_squash(x: jnp.ndarray) -> jnp.ndarray:
+    """Sign-preserving log compression for heavy-tailed count/ts features."""
+    return jnp.sign(x) * jnp.log1p(jnp.abs(x))
+
+
+def init_ranker(
+    n_features: int,
+    cfg: RankerConfig,
+    feat_mean: np.ndarray,
+    feat_std: np.ndarray,
+    seed: Optional[int] = None,
+) -> RankerParams:
+    key = jax.random.PRNGKey(cfg.seed if seed is None else seed)
+    dims = [n_features, *cfg.hidden_dims, 1]
+    weights = []
+    for i in range(len(dims) - 1):
+        key, sub = jax.random.split(key)
+        w = jax.random.normal(sub, (dims[i], dims[i + 1])) * jnp.sqrt(
+            2.0 / dims[i]
+        )
+        b = jnp.zeros((dims[i + 1],))
+        weights.append((w, b))
+    return RankerParams(
+        norm_mean=jnp.asarray(feat_mean, jnp.float32),
+        norm_std=jnp.asarray(feat_std, jnp.float32),
+        weights=tuple(weights),
+    )
+
+
+def score(params: RankerParams, feats: jnp.ndarray) -> jnp.ndarray:
+    """feats [..., F] -> scores [...]. bf16 matmuls, f32 accumulation."""
+    x = (_log_squash(feats) - params.norm_mean) / params.norm_std
+    x = x.astype(jnp.bfloat16)
+    n = len(params.weights)
+    for i, (w, b) in enumerate(params.weights):
+        x = (
+            jnp.dot(x, w.astype(jnp.bfloat16), preferred_element_type=jnp.float32)
+            + b
+        )
+        if i < n - 1:
+            x = jax.nn.relu(x).astype(jnp.bfloat16)
+    return x[..., 0]
+
+
+def compute_norm_stats(feats: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Feature normalization stats over a training sample (after log squash)."""
+    x = np.sign(feats) * np.log1p(np.abs(feats))
+    mean = x.mean(axis=0)
+    std = x.std(axis=0)
+    std = np.where(std < 1e-6, 1.0, std)
+    return mean.astype(np.float32), std.astype(np.float32)
+
+
+def _lambdarank_loss(
+    params: RankerParams,
+    feats: jnp.ndarray,    # [B, G, F]
+    labels: jnp.ndarray,   # [B, G] float 0/1
+    mask: jnp.ndarray,     # [B, G] bool
+    sigma: float,
+    k: int,
+) -> jnp.ndarray:
+    s = score(params, feats)                       # [B, G]
+    s = jnp.where(mask, s, -1e9)
+    G = s.shape[1]
+
+    # current rank of each candidate (0-based) via double argsort
+    order = jnp.argsort(-s, axis=1)
+    rank = jnp.zeros_like(order).at[
+        jnp.arange(s.shape[0])[:, None], order
+    ].set(jnp.arange(G)[None, :])
+
+    disc = jnp.where(rank < k, 1.0 / jnp.log2(2.0 + rank.astype(jnp.float32)), 0.0)
+
+    # ideal DCG@k: positives ranked first
+    n_pos = jnp.sum(labels * mask, axis=1)
+    ideal_pos = jnp.arange(G, dtype=jnp.float32)[None, :]
+    ideal_disc = jnp.where(
+        (ideal_pos < jnp.minimum(n_pos, k)[:, None]),
+        1.0 / jnp.log2(2.0 + ideal_pos),
+        0.0,
+    )
+    max_dcg = jnp.maximum(jnp.sum(ideal_disc, axis=1), 1e-9)  # [B]
+
+    y = jnp.where(mask, labels, 0.0)
+    pair_pos = (y[:, :, None] > y[:, None, :]) & mask[:, :, None] & mask[:, None, :]
+    delta_ndcg = jnp.abs(disc[:, :, None] - disc[:, None, :]) / max_dcg[:, None, None]
+    s_diff = s[:, :, None] - s[:, None, :]
+    pair_loss = jax.nn.softplus(-sigma * s_diff) * delta_ndcg
+    loss = jnp.sum(jnp.where(pair_pos, pair_loss, 0.0))
+    n_pairs = jnp.maximum(jnp.sum(pair_pos), 1.0)
+    return loss / n_pairs
+
+
+@partial(jax.jit, static_argnums=(4, 5, 6), donate_argnums=(0, 1))
+def train_step(
+    params: RankerParams,
+    opt_state,
+    batch: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray],
+    _key,
+    optimizer,
+    sigma: float,
+    k: int,
+):
+    feats, labels, mask = batch
+    loss, grads = jax.value_and_grad(_lambdarank_loss)(
+        params, feats, labels, mask, sigma, k
+    )
+    # normalization stats are constants, not trained
+    grads = grads._replace(
+        norm_mean=jnp.zeros_like(grads.norm_mean),
+        norm_std=jnp.zeros_like(grads.norm_std),
+    )
+    updates, opt_state = optimizer.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    return params, opt_state, loss
+
+
+def ndcg_at_k(
+    scores: np.ndarray, labels: np.ndarray, mask: np.ndarray, k: int = 20
+) -> float:
+    """Mean NDCG@k over groups with at least one positive (the LightGBM
+    eval metric, reference: config.py:210 'ndcg', PARAMS_LGBM_FIT eval_at)."""
+    s = np.where(mask, scores, -np.inf)
+    y = np.where(mask, labels, 0.0)
+    order = np.argsort(-s, axis=1)[:, :k]
+    top_y = np.take_along_axis(y, order, axis=1)
+    disc = 1.0 / np.log2(2.0 + np.arange(k))
+    dcg = (top_y * disc[None, :]).sum(axis=1)
+    n_pos = y.sum(axis=1).astype(np.int64)
+    has_pos = n_pos > 0
+    ideal = np.array(
+        [disc[: min(n, k)].sum() if n > 0 else 1.0 for n in n_pos]
+    )
+    return float((dcg[has_pos] / ideal[has_pos]).mean()) if has_pos.any() else 0.0
+
+
+@dataclasses.dataclass
+class Ranker:
+    """Trained per-target ranker (LGBM booster analogue)."""
+
+    cfg: RankerConfig
+    params: RankerParams
+    feature_names: Tuple[str, ...]
+
+    def predict(self, feats: np.ndarray, batch: int = 1 << 16) -> np.ndarray:
+        out = np.empty(feats.shape[0], np.float32)
+        for i in range(0, feats.shape[0], batch):
+            out[i : i + batch] = np.asarray(
+                score(self.params, jnp.asarray(feats[i : i + batch], jnp.float32))
+            )
+        return out
+
+    def save(self, path: str) -> None:
+        flat = {"norm_mean": np.asarray(self.params.norm_mean),
+                "norm_std": np.asarray(self.params.norm_std),
+                "feature_names": np.array(self.feature_names)}
+        for i, (w, b) in enumerate(self.params.weights):
+            flat[f"w{i}"] = np.asarray(w)
+            flat[f"b{i}"] = np.asarray(b)
+        np.savez_compressed(path, **flat)
+
+    @staticmethod
+    def load(path: str, cfg: RankerConfig) -> "Ranker":
+        z = np.load(path, allow_pickle=False)
+        n_layers = len([k for k in z.files if k.startswith("w")])
+        weights = tuple(
+            (jnp.asarray(z[f"w{i}"]), jnp.asarray(z[f"b{i}"]))
+            for i in range(n_layers)
+        )
+        params = RankerParams(
+            jnp.asarray(z["norm_mean"]), jnp.asarray(z["norm_std"]), weights
+        )
+        return Ranker(cfg, params, tuple(z["feature_names"].tolist()))
+
+
+def train_ranker(
+    feats: np.ndarray,      # [N, F] flat candidate rows
+    labels: np.ndarray,     # [N] 0/1 target for ONE type
+    group_sessions: np.ndarray,  # [N] session id per row (sorted)
+    feature_names: Tuple[str, ...],
+    cfg: RankerConfig,
+    valid: Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]] = None,
+) -> Ranker:
+    """Group rows by session, pad groups to cfg.max_group, train."""
+    mean, std = compute_norm_stats(feats[: 1 << 20])
+    params = init_ranker(feats.shape[1], cfg, mean, std)
+    optimizer = optax.adamw(cfg.learning_rate, weight_decay=cfg.weight_decay)
+    opt_state = optimizer.init(params)
+
+    fg, lg, mg = _group_pad(feats, labels, group_sessions, cfg.max_group)
+    n_groups = fg.shape[0]
+    rng = np.random.default_rng(cfg.seed)
+    key = jax.random.PRNGKey(cfg.seed)
+    B = cfg.batch_sessions
+
+    loss = jnp.float32(0)
+    for epoch in range(cfg.epochs):
+        perm = rng.permutation(n_groups)
+        for i in range(0, n_groups - B + 1, B):
+            sel = perm[i : i + B]
+            key, sub = jax.random.split(key)
+            params, opt_state, loss = train_step(
+                params,
+                opt_state,
+                (
+                    jnp.asarray(fg[sel], jnp.float32),
+                    jnp.asarray(lg[sel], jnp.float32),
+                    jnp.asarray(mg[sel]),
+                ),
+                sub,
+                optimizer,
+                cfg.sigma,
+                cfg.eval_at,
+            )
+        msg = f"ranker epoch {epoch}: loss={float(loss):.5f}"
+        if valid is not None:
+            vf, vl, vs = valid
+            vfg, vlg, vmg = _group_pad(vf, vl, vs, cfg.max_group)
+            r = Ranker(cfg, params, feature_names)
+            vscores = r.predict(vfg.reshape(-1, vf.shape[1])).reshape(vfg.shape[:2])
+            msg += f" valid ndcg@{cfg.eval_at}={ndcg_at_k(vscores, vlg, vmg, cfg.eval_at):.5f}"
+        log.info(msg)
+
+    return Ranker(cfg, params, feature_names)
+
+
+def _group_pad(feats, labels, sessions, max_group):
+    """[N, F] rows -> [n_groups, max_group, F] padded groups by session."""
+    u_sess, starts = np.unique(sessions, return_index=True)
+    ends = np.append(starts[1:], len(sessions))
+    n_g = len(u_sess)
+    F = feats.shape[1]
+    fg = np.zeros((n_g, max_group, F), np.float32)
+    lg = np.zeros((n_g, max_group), np.float32)
+    mg = np.zeros((n_g, max_group), bool)
+    for gi, (s, e) in enumerate(zip(starts, ends)):
+        n = min(e - s, max_group)
+        # keep positives first if truncating (don't drop the signal)
+        idx = np.arange(s, e)
+        if e - s > max_group:
+            order = np.argsort(-labels[s:e], kind="stable")
+            idx = s + order[:max_group]
+        fg[gi, :n] = feats[idx[:n]]
+        lg[gi, :n] = labels[idx[:n]]
+        mg[gi, :n] = True
+    return fg, lg, mg

@@ -63,17 +63,26 @@ def build_vocab(ev: Events, types: Tuple[int, ...], min_count: int, n_aids: Opti
 class SGNSParams(NamedTuple):
     emb_in: jnp.ndarray   # [V, D] float32
     emb_out: jnp.ndarray  # [V, D] float32
+    acc_in: jnp.ndarray   # [V] float32 Adagrad accumulators (per row)
+    acc_out: jnp.ndarray  # [V] float32
 
 
 def init_params(vocab_size: int, dim: int, seed: int) -> SGNSParams:
     k = jax.random.PRNGKey(seed)
     emb_in = (jax.random.uniform(k, (vocab_size, dim)) - 0.5) / dim
     emb_out = jnp.zeros((vocab_size, dim), jnp.float32)
-    return SGNSParams(emb_in, emb_out)
+    acc_in = jnp.full((vocab_size,), 1e-6, jnp.float32)
+    acc_out = jnp.full((vocab_size,), 1e-6, jnp.float32)
+    return SGNSParams(emb_in, emb_out, acc_in, acc_out)
 
 
 def _sgns_loss(params: SGNSParams, center, pos, negs):
-    """-log s(in_c . out_p) - sum log s(-in_c . out_n)."""
+    """-log s(in_c . out_p) - sum log s(-in_c . out_n).
+
+    SUM-reduced: a row's gradient accumulates one term per occurrence in the
+    batch, so lr keeps gensim's per-pair semantics (sequential hogwild SGD,
+    reference: model/w2vec_aids.py:63) rather than shrinking with batch size.
+    """
     c = params.emb_in[center]                      # [B, D]
     p = params.emb_out[pos]                        # [B, D]
     n = params.emb_out[negs]                       # [B, K, D]
@@ -82,10 +91,10 @@ def _sgns_loss(params: SGNSParams, center, pos, negs):
     loss = -jax.nn.log_sigmoid(pos_logit) - jnp.sum(
         jax.nn.log_sigmoid(-neg_logit), axis=-1
     )
-    return jnp.mean(loss)
+    return jnp.sum(loss)
 
 
-@partial(jax.jit, donate_argnums=(0,))
+@partial(jax.jit, donate_argnums=(0,), static_argnums=(6,))
 def sgns_step(
     params: SGNSParams,
     center: jnp.ndarray,     # [B] int32
@@ -99,11 +108,22 @@ def sgns_step(
     u = jax.random.uniform(key, (B, n_negs))
     negs = jnp.searchsorted(neg_cdf, u).astype(jnp.int32)
     loss, grads = jax.value_and_grad(_sgns_loss)(params, center, pos, negs)
+    # per-row Adagrad: frequent rows (many accumulated pair grads per batch)
+    # get proportionally damped steps — the batched analogue of hogwild's
+    # many small sequential updates.
+    g_in_sq = jnp.mean(grads.emb_in**2, axis=1)
+    g_out_sq = jnp.mean(grads.emb_out**2, axis=1)
+    acc_in = params.acc_in + g_in_sq
+    acc_out = params.acc_out + g_out_sq
+    scale_in = lr * jax.lax.rsqrt(acc_in + 1e-8)
+    scale_out = lr * jax.lax.rsqrt(acc_out + 1e-8)
     new = SGNSParams(
-        emb_in=params.emb_in - lr * grads.emb_in,
-        emb_out=params.emb_out - lr * grads.emb_out,
+        emb_in=params.emb_in - scale_in[:, None] * grads.emb_in,
+        emb_out=params.emb_out - scale_out[:, None] * grads.emb_out,
+        acc_in=acc_in,
+        acc_out=acc_out,
     )
-    return new, loss
+    return new, loss / B
 
 
 # keep a non-donating alias for shape-probing / multi-chip dryrun

@@ -62,8 +62,7 @@ def _keep_topk_by_count(
     return a_o, b_o, jnp.where(a_o == SENTINEL, 0, c_o)
 
 
-@partial(jax.jit, donate_argnums=(0,))
-def merge_into(
+def merge_into_impl(
     table: CountTable,
     aid: jnp.ndarray,
     aid_next: jnp.ndarray,
@@ -83,6 +82,9 @@ def merge_into(
     a, b, c = _keep_topk_by_count(uk1, uk2, uv, C)
     n = jnp.minimum(n_unique, C)
     return CountTable(a, b, c, n)
+
+
+merge_into = jax.jit(merge_into_impl, donate_argnums=(0,))
 
 
 @partial(jax.jit, static_argnums=(1, 2))

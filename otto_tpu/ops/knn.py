@@ -1,0 +1,105 @@
+"""Exact sharded top-k nearest neighbours on the MXU (C9).
+
+Replaces faiss IndexIVFFlat (nlist=100, nprobe=3 — a lossy ANN, reference:
+model/w2vec_aids.py:98-110) with exact brute-force search: the corpus streams
+through the MXU in tiles, a running top-k merges per tile via lax.top_k.
+On TPU the 600k x 1.8M x 100 score matrix is ~10 TFLOP of dense bf16 matmul —
+cheaper than the reference's hour-scale CPU IVF sweep, and exact recall beats
+IVF's (overlap stats in reference: model/w2vec_aids.py:237-241 show nprobe=3
+agrees with exact search on only ~97% of neighbours at best).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4))
+def topk_neighbors(
+    queries: jnp.ndarray,   # [Q, D]
+    corpus: jnp.ndarray,    # [V, D]
+    k: int,
+    metric: str = "l2",
+    tile: int = 8192,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact top-k by similarity. Returns (scores [Q, k], idx [Q, k]).
+
+    metric 'l2'  -> returns negated squared L2 distance as score (larger =
+                    closer), matching faiss METRIC_L2 ordering
+                    (reference: model/w2vec_aids.py:104).
+    metric 'dot' -> inner product (MIPS).
+    metric 'cos' -> cosine similarity.
+    """
+    Q, D = queries.shape
+    V = corpus.shape[0]
+    n_tiles = (V + tile - 1) // tile
+    Vp = n_tiles * tile
+    corpus_p = jnp.pad(corpus, ((0, Vp - V), (0, 0)))
+
+    q = queries
+    if metric == "cos":
+        q = q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-9)
+    q_sq = jnp.sum(q * q, axis=-1, keepdims=True)
+
+    corpus_tiles = corpus_p.reshape(n_tiles, tile, D)
+
+    def tile_scores(c_tile, base):
+        if metric == "cos":
+            c_tile = c_tile / jnp.maximum(
+                jnp.linalg.norm(c_tile, axis=-1, keepdims=True), 1e-9
+            )
+        s = jnp.dot(q, c_tile.T, preferred_element_type=jnp.float32)  # [Q, T]
+        if metric == "l2":
+            c_sq = jnp.sum(c_tile * c_tile, axis=-1)[None, :]
+            s = -(q_sq + c_sq - 2.0 * s)  # -squared L2
+        idx = base + jnp.arange(tile, dtype=jnp.int32)[None, :]
+        # mask out padding rows of the corpus
+        pad = idx >= V
+        s = jnp.where(pad, -jnp.inf, s)
+        return s, jnp.broadcast_to(idx, s.shape)
+
+    def body(carry, inp):
+        best_s, best_i = carry
+        c_tile, base = inp
+        s, idx = tile_scores(c_tile, base)
+        cat_s = jnp.concatenate([best_s, s], axis=1)
+        cat_i = jnp.concatenate([best_i, idx], axis=1)
+        new_s, pos = jax.lax.top_k(cat_s, k)
+        new_i = jnp.take_along_axis(cat_i, pos, axis=1)
+        return (new_s, new_i), None
+
+    init = (
+        jnp.full((Q, k), -jnp.inf, jnp.float32),
+        jnp.full((Q, k), -1, jnp.int32),
+    )
+    bases = (jnp.arange(n_tiles, dtype=jnp.int32) * tile)
+    (scores, idx), _ = jax.lax.scan(body, init, (corpus_tiles, bases))
+    return scores, idx
+
+
+def knn_search(
+    queries: np.ndarray,
+    corpus: np.ndarray,
+    k: int,
+    metric: str = "l2",
+    query_block: int = 16384,
+    tile: int = 8192,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Host driver: stream query blocks through the device kernel."""
+    Q = queries.shape[0]
+    tile = min(tile, max(128, 1 << int(np.ceil(np.log2(max(corpus.shape[0], 1))))))
+    out_s = np.empty((Q, k), np.float32)
+    out_i = np.empty((Q, k), np.int32)
+    for i in range(0, Q, query_block):
+        qb = np.asarray(queries[i : i + query_block], np.float32)
+        nb = len(qb)
+        if nb < query_block and Q > query_block:
+            qb = np.pad(qb, ((0, query_block - nb), (0, 0)))
+        s, ix = topk_neighbors(jnp.asarray(qb), jnp.asarray(corpus), k, metric, tile)
+        out_s[i : i + nb] = np.asarray(s)[:nb]
+        out_i[i : i + nb] = np.asarray(ix)[:nb]
+    return out_s, out_i

@@ -68,6 +68,36 @@ def sort_compress(
     return uk1, uk2, uv, n_unique
 
 
+def sort_compress_multi(
+    k1: jnp.ndarray,
+    k2: jnp.ndarray,
+    values: Tuple[jnp.ndarray, ...],
+    valid: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, Tuple[jnp.ndarray, ...], jnp.ndarray]:
+    """Groupby (k1, k2) -> sum of each value column (the multi-aggregate
+    groupby, e.g. reference: model/count_popularity.py:61-70)."""
+    n = k1.shape[0]
+    if valid is not None:
+        k1 = jnp.where(valid, k1, SENTINEL)
+        k2 = jnp.where(valid, k2, SENTINEL)
+        values = tuple(jnp.where(valid, v, jnp.zeros_like(v)) for v in values)
+    out = lax.sort((k1, k2) + tuple(values), num_keys=2)
+    k1s, k2s, vs = out[0], out[1], out[2:]
+    first = (k1s != _shift_right(k1s, NEG_SENTINEL)) | (
+        k2s != _shift_right(k2s, NEG_SENTINEL)
+    )
+    seg = jnp.cumsum(first) - 1
+    uk1 = jnp.full((n,), SENTINEL, dtype=k1.dtype).at[seg].set(k1s)
+    uk2 = jnp.full((n,), SENTINEL, dtype=k2.dtype).at[seg].set(k2s)
+    is_pad = uk1 == SENTINEL
+    uvs = []
+    for v in vs:
+        s = jax.ops.segment_sum(v, seg, num_segments=n)
+        uvs.append(jnp.where(is_pad, jnp.zeros_like(s), s))
+    n_unique = jnp.sum(first & (k1s != SENTINEL)).astype(jnp.int32)
+    return uk1, uk2, tuple(uvs), n_unique
+
+
 def sort_by_keys(keys: Tuple[jnp.ndarray, ...], values: Tuple[jnp.ndarray, ...]):
     """Stable lexicographic sort of `values` by `keys` (ascending)."""
     out = lax.sort(tuple(keys) + tuple(values), num_keys=len(keys), is_stable=True)
@@ -222,6 +252,54 @@ def rowwise_segment_reduce(
         outs.append(o)
     n_unique = jnp.sum(first & (ks != SENTINEL), axis=-1).astype(jnp.int32)
     return uk, tuple(outs), n_unique
+
+
+def rowwise_groupby(
+    key: jnp.ndarray,
+    columns: dict,
+) -> Tuple[jnp.ndarray, dict, jnp.ndarray]:
+    """Per-row groupby with one sort for any number of columns.
+
+    `columns` maps name -> (array [S, C], reducer), reducer in
+    {'sum', 'min', 'max'}. The key is sorted ONCE carrying a permutation;
+    every column is then gathered through it (cheap) and scatter-reduced.
+    'min'/'max' columns must encode absent lanes as SENTINEL/NEG_SENTINEL
+    (or other identity) themselves.
+
+    Returns (unique_key [S, C] SENTINEL back-padded, {name: reduced [S, C]},
+    n_unique [S]). Reduced padding lanes carry each reducer's identity.
+    """
+    S, C = key.shape
+    pos = jnp.broadcast_to(jnp.arange(C, dtype=jnp.int32)[None, :], (S, C))
+    (ks,), (perm,) = rowwise_sort((key,), (pos,))
+    first = ks != _shift_right(ks, NEG_SENTINEL)
+    seg = jnp.cumsum(first, axis=-1) - 1
+    rows = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[:, None], (S, C))
+    uk = jnp.full((S, C), SENTINEL, jnp.int32).at[rows, seg].set(ks)
+    out = {}
+    for name, (arr, red) in columns.items():
+        a = jnp.take_along_axis(arr, perm, axis=1)
+        if red == "sum":
+            o = jnp.zeros((S, C), arr.dtype).at[rows, seg].add(a)
+        elif red == "max":
+            ident = (
+                jnp.finfo(arr.dtype).min
+                if jnp.issubdtype(arr.dtype, jnp.floating)
+                else NEG_SENTINEL
+            )
+            o = jnp.full((S, C), ident, arr.dtype).at[rows, seg].max(a)
+        elif red == "min":
+            ident = (
+                jnp.finfo(arr.dtype).max
+                if jnp.issubdtype(arr.dtype, jnp.floating)
+                else SENTINEL
+            )
+            o = jnp.full((S, C), ident, arr.dtype).at[rows, seg].min(a)
+        else:
+            raise ValueError(red)
+        out[name] = o
+    n_unique = jnp.sum(first & (ks != SENTINEL), axis=-1).astype(jnp.int32)
+    return uk, out, n_unique
 
 
 def rowwise_rank_desc(value: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:

@@ -1,0 +1,124 @@
+"""Command-line interface.
+
+The reference's surface is 15 numbered `python -m model.*` scripts
+(reference: README.md:282-368); here a single `otto-tpu` entrypoint exposes
+the same stages plus an end-to-end runner. Stage artifacts and resume
+semantics live in otto_tpu.pipeline.runner.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+
+import numpy as np
+
+from otto_tpu.config import DEFAULT, Config, setup_logging
+from otto_tpu.data.schema import Events, Labels
+from otto_tpu.data.split import split_events
+from otto_tpu.data.synthetic import SyntheticSpec, generate
+from otto_tpu.pipeline.runner import Pipeline, run_synthetic
+
+log = logging.getLogger(__name__)
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--work-dir", default="artifacts", help="artifact directory")
+    p.add_argument("--no-cache", action="store_true", help="recompute all stages")
+
+
+def cmd_synth(args) -> int:
+    """Generate a synthetic OTTO-like dataset to parquet."""
+    spec = SyntheticSpec(
+        n_sessions=args.sessions, n_aids=args.aids, seed=args.seed
+    )
+    ev = generate(spec)
+    ev.to_parquet(args.out)
+    log.info("wrote %d events to %s", len(ev), args.out)
+    return 0
+
+
+def cmd_split(args) -> int:
+    """Carve the last-N-days local test split with labels (C5)."""
+    ev = Events.from_parquet(args.events)
+    sp = split_events(ev, test_days=args.days, seed=args.seed)
+    sp.train.to_parquet(args.out_prefix + "-train.parquet")
+    sp.test.to_parquet(args.out_prefix + "-test.parquet")
+    sp.labels.to_parquet(args.out_prefix + "-labels.parquet")
+    log.info(
+        "split: train=%d test=%d labels=%d",
+        len(sp.train), len(sp.test), len(sp.labels),
+    )
+    return 0
+
+
+def cmd_run(args) -> int:
+    """Full pipeline on parquet inputs (count -> embed -> retrieve -> rank
+    -> submit -> eval)."""
+    train = Events.from_parquet(args.train)
+    test = Events.from_parquet(args.test)
+    labels = Labels.from_parquet(args.labels) if args.labels else None
+    n_aids = int(max(train.aid.max(), test.aid.max())) + 1
+    pipe = Pipeline(
+        cfg=DEFAULT, work_dir=args.work_dir, n_aids=n_aids,
+        use_cache=not args.no_cache,
+    )
+    metrics = pipe.run(train, test, labels, batch_sessions=args.batch_sessions)
+    print(json.dumps(metrics, indent=2))
+    return 0
+
+
+def cmd_run_synthetic(args) -> int:
+    """Full pipeline on generated data (demo / smoke)."""
+    spec = SyntheticSpec(
+        n_sessions=args.sessions, n_aids=args.aids, seed=args.seed
+    )
+    metrics = run_synthetic(
+        DEFAULT, args.work_dir, spec, batch_sessions=args.batch_sessions
+    )
+    print(json.dumps(metrics, indent=2))
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="otto-tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("synth", help=cmd_synth.__doc__)
+    p.add_argument("--sessions", type=int, default=100_000)
+    p.add_argument("--aids", type=int, default=50_000)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", required=True)
+    p.set_defaults(fn=cmd_synth)
+
+    p = sub.add_parser("split", help=cmd_split.__doc__)
+    p.add_argument("--events", required=True)
+    p.add_argument("--days", type=int, default=7)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--out-prefix", required=True)
+    p.set_defaults(fn=cmd_split)
+
+    p = sub.add_parser("run", help=cmd_run.__doc__)
+    p.add_argument("--train", required=True)
+    p.add_argument("--test", required=True)
+    p.add_argument("--labels")
+    p.add_argument("--batch-sessions", type=int, default=256)
+    _add_common(p)
+    p.set_defaults(fn=cmd_run)
+
+    p = sub.add_parser("run-synthetic", help=cmd_run_synthetic.__doc__)
+    p.add_argument("--sessions", type=int, default=20_000)
+    p.add_argument("--aids", type=int, default=5_000)
+    p.add_argument("--seed", type=int, default=7)
+    p.add_argument("--batch-sessions", type=int, default=256)
+    _add_common(p)
+    p.set_defaults(fn=cmd_run_synthetic)
+
+    args = parser.parse_args(argv)
+    setup_logging(getattr(args, "work_dir", None))
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

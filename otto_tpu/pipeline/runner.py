@@ -1,0 +1,259 @@
+"""Pipeline orchestrator.
+
+The reference is 15 manually-ordered CLI scripts communicating via parquet
+files (reference: README.md:282-368, SURVEY.md §1 'Control flow between
+layers is manual'). Here the same stages are a declared DAG with artifact-
+based resumability: every stage persists its outputs under the work dir and
+is skipped when they already exist (the reference's ad-hoc 'skip if output
+file exists' checks, e.g. model/count_co_events.py:84-89 and
+model/w2vec_aids.py:49-53, made systematic).
+
+Stages (reference step numbers from README.md:282-368):
+  synth/ingest -> split -> covis -> w2vec x2 -> knn -> session_emb
+  -> kmeans -> popularity -> retrieve -> downsample -> rankers x3
+  -> rank -> submit -> eval
+"""
+from __future__ import annotations
+
+import dataclasses
+import json
+import logging
+import os
+import pickle
+import time
+from pathlib import Path
+from typing import Dict, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from otto_tpu.config import TYPE2ID, TYPES, Config
+from otto_tpu.data.batching import pack_sessions
+from otto_tpu.data.schema import Events, Labels
+from otto_tpu.data.split import split_events
+from otto_tpu.data.synthetic import SyntheticSpec, generate
+from otto_tpu.engine import rank as rank_engine
+from otto_tpu.engine.covis import CoVisCounter
+from otto_tpu.engine.popularity import compute_popularity
+from otto_tpu.engine.retrieval import (
+    FEATURE_NAMES,
+    RetrievalContext,
+    RetrievedBatch,
+    Retriever,
+    join_labels,
+)
+from otto_tpu.engine.session_embed import build_knn_tables, compute_session_embeddings
+from otto_tpu.eval.recall import evaluate_topk, recall_at_k
+from otto_tpu.models.ranker import Ranker, train_ranker
+from otto_tpu.models.word2vec import Word2Vec, train_word2vec
+from otto_tpu.ops.kmeans import kmeans_fit
+
+log = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class Pipeline:
+    cfg: Config
+    work_dir: str
+    n_aids: int
+    use_cache: bool = True
+
+    def __post_init__(self):
+        Path(self.work_dir).mkdir(parents=True, exist_ok=True)
+
+    def _p(self, name: str) -> str:
+        return os.path.join(self.work_dir, name)
+
+    def _cached(self, name: str) -> bool:
+        return self.use_cache and os.path.exists(self._p(name))
+
+    def _log(self, stage: str, t0: float, msg: str = ""):
+        log.info("[%7.1fs] %s %s", time.time() - t0, stage, msg)
+
+    # ------------------------------------------------------------------
+    def run(
+        self,
+        train: Events,
+        test: Events,
+        labels: Optional[Labels] = None,
+        batch_sessions: int = 256,
+    ) -> Dict[str, float]:
+        """Run the full offline pipeline; returns eval metrics (empty dict
+        when labels are absent)."""
+        t0 = time.time()
+        cfg = self.cfg
+        full = train.concat(test)
+
+        # ---- C7 co-visitation --------------------------------------------
+        if self._cached("covis.pkl"):
+            with open(self._p("covis.pkl"), "rb") as fh:
+                covis_tables = pickle.load(fh)
+        else:
+            counter = CoVisCounter(cfg.covis)
+            counter.update(train)
+            counter.update(test)
+            covis_tables = {
+                k: tuple(np.asarray(x) for x in v)
+                for k, v in counter.retrieval_tables(self.n_aids).items()
+            }
+            with open(self._p("covis.pkl"), "wb") as fh:
+                pickle.dump(covis_tables, fh)
+        self._log("covis", t0)
+
+        # ---- C8 w2vec + C9 kNN -------------------------------------------
+        models: Dict[str, Word2Vec] = {}
+        knns = {}
+        for name, wcfg in cfg.w2vec.items():
+            mpath = self._p(f"w2v-{name}.npz")
+            if self._cached(f"w2v-{name}.npz"):
+                models[name] = Word2Vec.load(mpath, wcfg)
+            else:
+                models[name] = train_word2vec(full, wcfg, self.n_aids)
+                models[name].save(mpath)
+            kpath = self._p(f"knn-{name}.npz")
+            if self._cached(f"knn-{name}.npz"):
+                z = np.load(kpath)
+                knns[name] = (z["neighbor"], z["dist"])
+            else:
+                kt = build_knn_tables(models[name], self.n_aids)
+                np.savez_compressed(kpath, neighbor=kt.neighbor, dist=kt.dist)
+                knns[name] = (kt.neighbor, kt.dist)
+            self._log(f"w2vec {name}", t0)
+
+        # ---- C10 session embeddings --------------------------------------
+        main_model = models[next(iter(cfg.w2vec))]
+        aid_emb = main_model.embedding_by_aid(self.n_aids)
+        if self._cached("session_emb.npz"):
+            z = np.load(self._p("session_emb.npz"))
+            sess_ids, sess_emb = z["session"], z["emb"]
+        else:
+            sess_ids, sess_emb = compute_session_embeddings(
+                pack_sessions(full), aid_emb
+            )
+            np.savez_compressed(
+                self._p("session_emb.npz"), session=sess_ids, emb=sess_emb
+            )
+        self._log("session_emb", t0)
+
+        # ---- C11 kmeans ---------------------------------------------------
+        n_clusters = cfg.kmeans.n_clusters_to_find[0]
+        if self._cached("clusters.npz"):
+            z = np.load(self._p("clusters.npz"))
+            cl_labels = z["cluster"]
+        else:
+            _, cl_labels, inertia, n_iter = kmeans_fit(
+                sess_emb,
+                n_clusters,
+                max_iter=cfg.kmeans.max_iter,
+                tol=cfg.kmeans.tol,
+                seed=cfg.kmeans.seed,
+            )
+            np.savez_compressed(
+                self._p("clusters.npz"), session=sess_ids, cluster=cl_labels
+            )
+            log.info("kmeans inertia=%.1f iters=%d", inertia, n_iter)
+        cl_of_session = dict(
+            zip(sess_ids.tolist(), np.asarray(cl_labels).tolist())
+        )
+        self._log("kmeans", t0)
+
+        # ---- C12 popularity ----------------------------------------------
+        ev_cluster = np.array(
+            [cl_of_session.get(int(s), 0) for s in full.session], np.int32
+        )
+        pop50 = compute_popularity(
+            full, ev_cluster, n_clusters, self.n_aids, cfg.popularity
+        )
+        pop1 = compute_popularity(
+            full,
+            np.zeros(len(full), np.int32),
+            1,
+            self.n_aids,
+            cfg.popularity,
+        )
+        self._log("popularity", t0)
+
+        # ---- C13 retrieval -----------------------------------------------
+        from otto_tpu.engine.covis import CoVisTables
+
+        ctx = RetrievalContext(
+            covis=tuple(
+                CoVisTables(*(jnp.asarray(a) for a in covis_tables[n]))
+                for n in cfg.covis.names
+            ),
+            knn_all=tuple(jnp.asarray(a) for a in knns[list(cfg.w2vec)[0]]),
+            knn_1_2=tuple(jnp.asarray(a) for a in knns[list(cfg.w2vec)[1]]),
+            pop_cl50_cand=jnp.asarray(pop50.candidate),
+            pop_cl50_ranks=jnp.asarray(pop50.ranks),
+            pop_cl1_rank=jnp.asarray(pop1.aid_rank),
+            aid_emb=jnp.asarray(aid_emb),
+        )
+        retriever = Retriever(
+            ctx=ctx,
+            cfg=cfg.retrieval,
+            session_cluster=cl_of_session,
+            session_emb=dict(zip(sess_ids.tolist(), sess_emb)),
+        )
+        batches = retriever.run(test, batch_sessions=batch_sessions)
+        self._log("retrieve", t0, f"{sum(b.cand.shape[0] for b in batches)} sessions")
+
+        targets = None
+        metrics: Dict[str, float] = {}
+        if labels is not None:
+            targets = join_labels(batches, labels)
+            # retrieval-ceiling eval (C14)
+            all_sess = np.concatenate([b.session for b in batches])
+            all_cand = np.concatenate([b.cand for b in batches])
+            ceiling = recall_at_k(all_sess, all_cand, labels, cutoffs=(20, 100, 200))
+            with open(self._p("eval_retrieved.json"), "w") as fh:
+                json.dump(ceiling, fh, indent=2)
+            for t in ("clicks", "carts", "orders", "total"):
+                metrics[f"ceiling_{t}"] = ceiling[t]["topall"]
+            self._log("eval_retrieved", t0, json.dumps(ceiling["total"]))
+
+        # ---- C15/C16 downsample + train rankers --------------------------
+        rankers: Dict[str, Ranker] = {}
+        if labels is not None:
+            for tname in TYPES:
+                rpath = self._p(f"ranker-{tname}.npz")
+                if self._cached(f"ranker-{tname}.npz"):
+                    rankers[tname] = Ranker.load(rpath, cfg.ranker)
+                    continue
+                feats, y, sess = rank_engine.downsample(
+                    batches, targets, TYPE2ID[tname], cfg.ranker
+                )
+                rankers[tname] = train_ranker(
+                    feats, y, sess, FEATURE_NAMES, cfg.ranker
+                )
+                rankers[tname].save(rpath)
+                self._log(f"ranker {tname}", t0, f"{len(y)} rows")
+
+            # ---- C17/C18 rank + submit -----------------------------------
+            preds = {}
+            for tname in TYPES:
+                s, a, _ = rank_engine.score_and_topk(batches, rankers[tname])
+                preds[tname] = (s, a)
+            rank_engine.write_submission(self._p("submission.csv"), preds)
+            self._log("submit", t0)
+
+            # ---- C19 eval -------------------------------------------------
+            res = evaluate_topk(preds, labels)
+            metrics.update(res)
+            with open(self._p("eval_submission.json"), "w") as fh:
+                json.dump(res, fh, indent=2)
+            self._log("eval", t0, json.dumps(res))
+
+        return metrics
+
+
+def run_synthetic(
+    cfg: Config,
+    work_dir: str,
+    spec: SyntheticSpec,
+    batch_sessions: int = 256,
+) -> Dict[str, float]:
+    """Generate synthetic data, split, and run the full pipeline."""
+    ev = generate(spec)
+    sp = split_events(ev, cfg.data.test_days, cfg.data.seed)
+    pipe = Pipeline(cfg=cfg, work_dir=work_dir, n_aids=spec.n_aids)
+    return pipe.run(sp.train, sp.test, sp.labels, batch_sessions=batch_sessions)

@@ -144,6 +144,9 @@ class Word2VecConfig:
     subsample_t: float = 1e-3             # frequent-word subsampling threshold
     ns_exponent: float = 0.75             # unigram^0.75 negative table
     seed: int = 42
+    # 'device': on-device pair sampling (sessions upload once, preferred at
+    # scale); 'host': numpy pair generation streamed per epoch.
+    sampler: str = "device"
 
     # kNN retrieval over the trained table (reference: config.py:109,124-125).
     knn_k: int = 20

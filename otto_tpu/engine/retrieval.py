@@ -148,9 +148,9 @@ def retrieve_batch(
 ):
     aid, ts, type_ = padded
     S, L = aid.shape
-    A_k = keep_aids
 
-    sa = compute_session_aids(aid, ts, type_, keep_aids)
+    sa = compute_session_aids(aid, ts, type_, min(keep_aids, L))
+    A_k = sa.aid.shape[1]  # may be < keep_aids for short buckets
     ss = compute_session_stats(aid, ts, type_)
 
     src_aid = sa.aid                                     # [S, A_k]

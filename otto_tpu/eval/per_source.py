@@ -1,0 +1,90 @@
+"""Per-source retrieval evaluation (C14).
+
+The reference evaluates the recall ceiling of every candidate source
+separately — src_any, src_self, the five co-count sources, two w2vec
+sources, cluster popularity — plus "source & not self" variants and
+candidate-count statistics (reference: model/eval_retrieved.py:37-139).
+This reproduces that report over RetrievedBatch outputs.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Sequence
+
+import numpy as np
+
+from otto_tpu.data.schema import Labels
+from otto_tpu.engine.retrieval import FEATURE_INDEX, RetrievedBatch
+from otto_tpu.eval.recall import recall_at_k
+
+SOURCES = (
+    "src_any", "src_self", "src_click_to_click", "src_click_to_cart_or_buy",
+    "src_cart_to_cart", "src_cart_to_buy", "src_buy_to_buy", "src_w2vec_all",
+    "src_w2vec_1_2", "src_pop_cl50",
+)
+
+
+def _masked_cands(batches: List[RetrievedBatch], mask_fn):
+    sess, cands = [], []
+    for b in batches:
+        m = mask_fn(b)
+        sess.append(b.session)
+        cands.append(np.where(m, b.cand, -1))
+    return np.concatenate(sess), np.concatenate(cands)
+
+
+def _src(b: RetrievedBatch, name: str) -> np.ndarray:
+    return b.feats[:, :, FEATURE_INDEX[name]] > 0
+
+
+def eval_retrieved_by_source(
+    batches: List[RetrievedBatch],
+    labels: Labels,
+    cutoffs: Sequence[int] = (20, 100, 200),
+    include_not_self: bool = True,
+) -> Dict[str, Dict]:
+    """-> {source: {type: {topK: recall}}} plus candidate-count stats under
+    '_counts' (reference: model/eval_retrieved.py:128-138)."""
+    report: Dict[str, Dict] = {}
+    filters = {s: (lambda b, s=s: _src(b, s)) for s in SOURCES}
+    if include_not_self:
+        for s in SOURCES:
+            if s in ("src_any", "src_self"):
+                continue
+            filters[f"{s} & not self"] = (
+                lambda b, s=s: _src(b, s) & ~_src(b, "src_self")
+            )
+
+    for name, mask_fn in filters.items():
+        sess, cands = _masked_cands(batches, mask_fn)
+        report[name] = recall_at_k(sess, cands, labels, cutoffs)
+
+    # candidates-per-session stats by source
+    counts: Dict[str, Dict[str, float]] = {}
+    for s in SOURCES:
+        per_session = np.concatenate(
+            [(_src(b, s) & (b.cand >= 0)).sum(axis=1) for b in batches]
+        )
+        counts[s] = {
+            "mean": float(per_session.mean()),
+            "min": int(per_session.min()),
+            "p50": float(np.percentile(per_session, 50)),
+            "p95": float(np.percentile(per_session, 95)),
+            "max": int(per_session.max()),
+        }
+    report["_counts"] = counts
+    return report
+
+
+def format_report(report: Dict[str, Dict], k: int = 20) -> str:
+    lines = [f"{'source':<34} {'type':<8} top20    top100   top200   topall"]
+    for src, by_type in report.items():
+        if src == "_counts":
+            continue
+        for tname in ("clicks", "carts", "orders", "total"):
+            r = by_type[tname]
+            lines.append(
+                f"{src:<34} {tname:<8} "
+                f"{r['top20']:.4f}   {r['top100']:.4f}   "
+                f"{r['top200']:.4f}   {r['topall']:.4f}"
+            )
+    return "\n".join(lines)

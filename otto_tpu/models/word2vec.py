@@ -130,6 +130,89 @@ def sgns_step(
 sgns_step_ref = sgns_step
 
 
+# ---------------------------------------------------------------------------
+# Device-side skip-gram sampling: the TPU-first training path. The host
+# uploads padded session tensors ONCE; every step samples (center, context,
+# negatives) on device — no host pair materialization, no PCIe streaming
+# (the gensim path re-reads all sentences per epoch,
+# reference: model/w2vec_aids.py:62-63).
+# ---------------------------------------------------------------------------
+@partial(jax.jit, static_argnums=(6, 7, 8), donate_argnums=(0,))
+def sgns_step_device_sampled(
+    params: SGNSParams,
+    words: jnp.ndarray,      # [S, L] int32 word ids, -1 pad
+    cum_len: jnp.ndarray,    # [S+1] int32 cumulative session lengths
+    neg_cdf: jnp.ndarray,    # [V] float32
+    keep_prob: jnp.ndarray,  # [V] float32 subsampling keep probability
+    lr: jnp.ndarray,
+    batch: int,
+    window: int,
+    n_negs: int,
+    key: jnp.ndarray,
+) -> Tuple[SGNSParams, jnp.ndarray]:
+    S, L = words.shape
+    total = cum_len[-1]
+    k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
+
+    # sample positions proportional to session length (matches the gensim
+    # sweep where long sessions contribute more pairs)
+    u = jax.random.uniform(k1, (batch,)) * total.astype(jnp.float32)
+    flat = u.astype(jnp.int32)
+    sess = jnp.searchsorted(cum_len, flat, side="right") - 1
+    sess = jnp.clip(sess, 0, S - 1)
+    pos = flat - cum_len[sess]
+    sess_len = cum_len[sess + 1] - cum_len[sess]
+
+    # dynamic window: b ~ U{1..window}, offset ~ +-U{1..b}
+    b = jax.random.randint(k2, (batch,), 1, window + 1)
+    off = jax.random.randint(k3, (batch,), 1, window + 1) % b + 1
+    sign = jnp.where(jax.random.bernoulli(k4, 0.5, (batch,)), 1, -1)
+    ctx_pos = pos + sign * off
+    in_bounds = (ctx_pos >= 0) & (ctx_pos < sess_len)
+    ctx_pos = jnp.clip(ctx_pos, 0, L - 1)
+
+    center = words[sess, jnp.clip(pos, 0, L - 1)]
+    context = words[sess, ctx_pos]
+    valid = in_bounds & (center >= 0) & (context >= 0)
+
+    # frequent-word subsampling on both ends (gensim drops words from the
+    # sentence stream; dropping pairs whose either end is dropped is the
+    # sampled equivalent)
+    su = jax.random.uniform(k5, (batch, 2))
+    c_safe = jnp.clip(center, 0, None)
+    x_safe = jnp.clip(context, 0, None)
+    keep = (su[:, 0] < keep_prob[c_safe]) & (su[:, 1] < keep_prob[x_safe])
+    valid = valid & keep
+
+    un = jax.random.uniform(k6, (batch, n_negs))
+    negs = jnp.searchsorted(neg_cdf, un).astype(jnp.int32)
+
+    def loss_fn(p):
+        c = p.emb_in[c_safe]
+        pv = p.emb_out[x_safe]
+        n = p.emb_out[negs]
+        pos_logit = jnp.sum(c * pv, axis=-1)
+        neg_logit = jnp.einsum("bd,bkd->bk", c, n)
+        per_pair = -jax.nn.log_sigmoid(pos_logit) - jnp.sum(
+            jax.nn.log_sigmoid(-neg_logit), axis=-1
+        )
+        return jnp.sum(jnp.where(valid, per_pair, 0.0))
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    g_in_sq = jnp.mean(grads.emb_in**2, axis=1)
+    g_out_sq = jnp.mean(grads.emb_out**2, axis=1)
+    acc_in = params.acc_in + g_in_sq
+    acc_out = params.acc_out + g_out_sq
+    new = SGNSParams(
+        emb_in=params.emb_in - (lr * jax.lax.rsqrt(acc_in + 1e-8))[:, None] * grads.emb_in,
+        emb_out=params.emb_out - (lr * jax.lax.rsqrt(acc_out + 1e-8))[:, None] * grads.emb_out,
+        acc_in=acc_in,
+        acc_out=acc_out,
+    )
+    n_valid = jnp.maximum(jnp.sum(valid), 1)
+    return new, loss / n_valid.astype(jnp.float32)
+
+
 def make_neg_cdf(counts: np.ndarray, ns_exponent: float = 0.75) -> np.ndarray:
     p = counts.astype(np.float64) ** ns_exponent
     cdf = np.cumsum(p / p.sum())
@@ -229,6 +312,80 @@ class Word2Vec:
             Vocab(z["aid_of_word"], z["word_of_aid"], z["counts"]),
             z["emb"],
         )
+
+
+def train_word2vec_device(
+    ev: Events,
+    cfg: Word2VecConfig,
+    n_aids: Optional[int] = None,
+    max_len: int = 256,
+) -> Word2Vec:
+    """Device-sampled training: sessions upload once as padded word tensors,
+    every step samples pairs + negatives on device (see
+    sgns_step_device_sampled). Preferred at scale."""
+    from otto_tpu.data.batching import pack_sessions
+
+    rng = np.random.default_rng(cfg.seed)
+    vocab = build_vocab(ev, cfg.types, cfg.min_count, n_aids)
+    if vocab.size == 0:
+        raise ValueError("empty vocabulary")
+    V = vocab.size
+
+    # sessions -> padded word tensors (single bucket: simplicity beats
+    # padding waste here; OOV words dropped by compacting each row)
+    m = np.isin(ev.type, np.asarray(cfg.types, np.int8))
+    evf = Events(ev.session[m], ev.aid[m], ev.ts[m], ev.type[m])
+    packed = pack_sessions(evf, bucket_lens=(max_len,))
+    rows = []
+    for p in packed:
+        w = vocab.word_of_aid[np.maximum(p.aid, 0)]
+        w = np.where(p.aid >= 0, w, -1)
+        rows.append(w)
+    words = np.concatenate(rows).astype(np.int32)
+    # compact OOV (-1) out of each row, preserving order (stable sort trick)
+    order = np.argsort(words < 0, axis=1, kind="stable")
+    comp = np.take_along_axis(words, order, axis=1)
+    lens = (comp >= 0).sum(axis=1).astype(np.int32)
+    keep_rows = lens >= 2
+    comp, lens = comp[keep_rows], lens[keep_rows]
+    cum = np.zeros(len(lens) + 1, np.int64)
+    np.cumsum(lens, out=cum[1:])
+
+    freq = vocab.counts / max(vocab.counts.sum(), 1)
+    if cfg.subsample_t > 0:
+        keep_prob = np.minimum(
+            1.0,
+            np.sqrt(cfg.subsample_t / np.maximum(freq, 1e-12))
+            + cfg.subsample_t / np.maximum(freq, 1e-12),
+        ).astype(np.float32)
+    else:
+        keep_prob = np.ones(V, np.float32)
+
+    params = init_params(V, cfg.vector_size, cfg.seed)
+    neg_cdf = jnp.asarray(make_neg_cdf(vocab.counts, cfg.ns_exponent))
+    keep_prob_d = jnp.asarray(keep_prob)
+    words_d = jnp.asarray(comp)
+    cum_d = jnp.asarray(cum.astype(np.int32))
+    key = jax.random.PRNGKey(cfg.seed)
+
+    total_positions = int(lens.sum())
+    steps_per_epoch = max(
+        1, total_positions * cfg.window // cfg.batch_size
+    )
+    loss = jnp.float32(0)
+    for epoch in range(cfg.epochs):
+        for _ in range(steps_per_epoch):
+            key, sub = jax.random.split(key)
+            params, loss = sgns_step_device_sampled(
+                params, words_d, cum_d, neg_cdf, keep_prob_d,
+                jnp.float32(cfg.learning_rate),
+                cfg.batch_size, cfg.window, cfg.negatives, sub,
+            )
+        log.info("w2v[device] %s epoch %d: %d steps, loss=%.4f",
+                 cfg.name, epoch, steps_per_epoch, float(loss))
+
+    emb = np.asarray(params.emb_in)[:, : cfg.vector_size]
+    return Word2Vec(cfg, vocab, emb)
 
 
 def train_word2vec(

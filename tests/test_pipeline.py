@@ -1,0 +1,108 @@
+"""Full pipeline integration: synth -> split -> count -> embed -> cluster ->
+retrieve -> downsample -> train rankers -> rank -> submit -> eval. The
+learned ranker pipeline must beat the popularity baseline and produce a
+valid Kaggle-format submission."""
+import dataclasses
+import json
+import os
+
+import numpy as np
+import pytest
+
+from otto_tpu.config import (
+    Config,
+    CoVisConfig,
+    KMeansConfig,
+    RankerConfig,
+    RetrievalConfig,
+    Word2VecConfig,
+)
+from otto_tpu.data.synthetic import SyntheticSpec
+from otto_tpu.pipeline.runner import run_synthetic
+from otto_tpu.engine.rank import read_submission
+
+
+@pytest.fixture(scope="module")
+def tiny_cfg():
+    w2v = dict(
+        wall=Word2VecConfig(name="wall", types=(0, 1, 2), vector_size=16,
+                            window=4, min_count=2, epochs=2, batch_size=4096,
+                            knn_k=10, knn_first_n_aids=800),
+        w12=Word2VecConfig(name="w12", types=(1, 2), vector_size=16,
+                           window=4, min_count=2, epochs=1, batch_size=4096,
+                           knn_k=10, knn_first_n_aids=800),
+    )
+    return Config(
+        covis=dataclasses.replace(CoVisConfig(), accumulator_capacity=1 << 17),
+        retrieval=RetrievalConfig(
+            max_session_aids=16, max_candidates=128,
+            session_len_buckets=(8, 32),
+        ),
+        w2vec=w2v,
+        kmeans=dataclasses.replace(KMeansConfig(), max_iter=10),
+        ranker=RankerConfig(hidden_dims=(32, 16), epochs=3, batch_sessions=64,
+                            max_group=64, learning_rate=3e-3),
+    )
+
+
+@pytest.fixture(scope="module")
+def pipeline_metrics(tiny_cfg, tmp_path_factory):
+    work = str(tmp_path_factory.mktemp("pipe"))
+    spec = SyntheticSpec(n_sessions=2500, n_aids=1200, mean_len=10,
+                         span_days=21, seed=11)
+    metrics = run_synthetic(tiny_cfg, work, spec, batch_sessions=64)
+    return work, metrics
+
+
+def test_pipeline_produces_all_artifacts(pipeline_metrics):
+    work, _ = pipeline_metrics
+    for f in (
+        "covis.pkl", "w2v-wall.npz", "w2v-w12.npz", "knn-wall.npz",
+        "session_emb.npz", "clusters.npz", "ranker-clicks.npz",
+        "ranker-carts.npz", "ranker-orders.npz", "submission.csv",
+        "eval_retrieved.json", "eval_submission.json",
+    ):
+        assert os.path.exists(os.path.join(work, f)), f
+
+
+def test_pipeline_metrics_sane(pipeline_metrics):
+    _, m = pipeline_metrics
+    # retrieval ceiling must exceed the ranked top-20 recall
+    assert m["ceiling_total"] >= m["total"] - 1e-9
+    # learned pipeline beats chance comfortably on orders (revisit signal)
+    assert m["orders"] > 0.3
+    assert m["total"] > 0.2
+    assert 0 <= m["clicks"] <= 1 and 0 <= m["carts"] <= 1
+
+
+def test_submission_format(pipeline_metrics):
+    work, _ = pipeline_metrics
+    sub = read_submission(os.path.join(work, "submission.csv"))
+    assert set(sub) == {"clicks", "carts", "orders"}
+    some = next(iter(sub["clicks"].values()))
+    assert len(some) <= 20
+    assert all(isinstance(a, int) for a in some)
+    # all three types predict the same session set
+    assert set(sub["clicks"]) == set(sub["orders"])
+
+
+def test_pipeline_resume_from_cache(tiny_cfg, pipeline_metrics):
+    """Re-running with the same work dir must reuse artifacts (reference
+    resumability semantics, SURVEY.md §5.3-4)."""
+    work, first = pipeline_metrics
+    import time
+    from otto_tpu.data.split import split_events
+    from otto_tpu.data.synthetic import SyntheticSpec, generate
+    from otto_tpu.pipeline.runner import Pipeline
+
+    spec = SyntheticSpec(n_sessions=2500, n_aids=1200, mean_len=10,
+                         span_days=21, seed=11)
+    ev = generate(spec)
+    sp = split_events(ev, 7, 42)
+    t = time.time()
+    pipe = Pipeline(cfg=tiny_cfg, work_dir=work, n_aids=spec.n_aids)
+    second = pipe.run(sp.train, sp.test, sp.labels, batch_sessions=64)
+    # cached heavy stages (covis/w2v/rankers) make the rerun much faster;
+    # metrics identical because every model artifact is reloaded
+    for k in ("clicks", "carts", "orders", "total"):
+        assert abs(second[k] - first[k]) < 1e-9

@@ -18,7 +18,15 @@ BASELINE_SESSIONS_PER_S = 1_670_000 / (40 * 60)  # reference retrieval stage
 
 
 def main() -> int:
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
     import jax
+
+    try:  # persistent compile cache: remote TPU compiles are ~30-60s each
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ["JAX_COMPILATION_CACHE_DIR"])
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from otto_tpu.config import CoVisConfig, RetrievalConfig

@@ -115,8 +115,14 @@ def covis_update_step(
     streams = pairs_ops.emit_pairs(aid, ts, type_, plan)
     new_tables = []
     for (fa, fb, m), table in zip(streams, tables):
-        ua, ub, uc, _ = counts_ops.compress_pairs(fa, fb, m)
-        new_tables.append(counts_ops.merge_into_impl(table, ua, ub, uc))
+        # feed RAW pairs (count=1) straight into the merge: merge_into sorts
+        # capacity+P elements regardless, so a pre-compress pass would only
+        # add a second full sort of the same size (kept only in the sharded
+        # path, where it shrinks the all-to-all exchange volume).
+        ones = m.astype(jnp.int32)
+        ka = jnp.where(m, fa, counts_ops.SENTINEL)
+        kb = jnp.where(m, fb, counts_ops.SENTINEL)
+        new_tables.append(counts_ops.merge_into_impl(table, ka, kb, ones))
     return tuple(new_tables)
 
 

@@ -87,6 +87,25 @@ def evaluate_topk(
     return out
 
 
+def evaluate_submission_file(path: str, labels: Labels, k: int = 20) -> Dict[str, float]:
+    """Independent re-parse + eval of a written submission CSV — the
+    cross-check role of the organizer's external scorer
+    (reference: model/eval_submission.py:12-70, eval_submission_otto.sh)."""
+    from otto_tpu.engine.rank import read_submission
+
+    sub = read_submission(path)
+    preds = {}
+    for tname in TYPES:
+        rows = sub.get(tname, {})
+        sessions = np.fromiter(rows.keys(), np.int32, len(rows))
+        aids = np.full((len(rows), k), -1, np.int32)
+        for i, alist in enumerate(rows.values()):
+            a = np.asarray(alist[:k], np.int32)
+            aids[i, : len(a)] = a
+        preds[tname] = (sessions, aids)
+    return evaluate_topk(preds, labels, k)
+
+
 def recall_at_k(
     sessions: np.ndarray,
     aids: np.ndarray,

@@ -319,6 +319,7 @@ def train_word2vec_device(
     cfg: Word2VecConfig,
     n_aids: Optional[int] = None,
     max_len: int = 256,
+    checkpoint_path: Optional[str] = None,
 ) -> Word2Vec:
     """Device-sampled training: sessions upload once as padded word tensors,
     every step samples pairs + negatives on device (see
@@ -372,8 +373,17 @@ def train_word2vec_device(
     steps_per_epoch = max(
         1, total_positions * cfg.window // cfg.batch_size
     )
+    start_epoch = 0
+    if checkpoint_path is not None:
+        from otto_tpu.utils.checkpoint import load_checkpoint
+
+        restored = load_checkpoint(checkpoint_path, (params, key))
+        if restored is not None:
+            (params, key), start_epoch = restored
+            log.info("w2v[device] %s resumed at epoch %d", cfg.name, start_epoch)
+
     loss = jnp.float32(0)
-    for epoch in range(cfg.epochs):
+    for epoch in range(start_epoch, cfg.epochs):
         for _ in range(steps_per_epoch):
             key, sub = jax.random.split(key)
             params, loss = sgns_step_device_sampled(
@@ -383,6 +393,10 @@ def train_word2vec_device(
             )
         log.info("w2v[device] %s epoch %d: %d steps, loss=%.4f",
                  cfg.name, epoch, steps_per_epoch, float(loss))
+        if checkpoint_path is not None:
+            from otto_tpu.utils.checkpoint import save_checkpoint
+
+            save_checkpoint(checkpoint_path, (params, key), epoch + 1)
 
     emb = np.asarray(params.emb_in)[:, : cfg.vector_size]
     return Word2Vec(cfg, vocab, emb)

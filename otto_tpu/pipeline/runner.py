@@ -264,6 +264,17 @@ class Pipeline:
                 json.dump(res, fh, indent=2)
             self._log("eval", t0, json.dumps(res))
 
+            # cross-check via independent re-parse of the written CSV (the
+            # organizer-scorer role, reference: model/eval_submission_otto.sh)
+            from otto_tpu.eval.recall import evaluate_submission_file
+
+            res2 = evaluate_submission_file(self._p("submission.csv"), labels)
+            if abs(res2["total"] - res["total"]) > 1e-9:
+                log.warning(
+                    "submission re-parse mismatch: %.6f vs %.6f",
+                    res2["total"], res["total"],
+                )
+
         return metrics
 
 

@@ -1,0 +1,96 @@
+"""Aux subsystems: checkpoint/resume, reports, per-source eval."""
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from otto_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+from otto_tpu.utils.reports import describe_numeric, report_name
+from otto_tpu.utils.timing import StageTimer, time_fn
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    state = {"w": jnp.arange(6.0).reshape(2, 3), "b": jnp.zeros(3)}
+    p = str(tmp_path / "ckpt.npz")
+    save_checkpoint(p, state, step=7)
+    restored, step = load_checkpoint(p, state)
+    assert step == 7
+    np.testing.assert_array_equal(np.asarray(restored["w"]), np.asarray(state["w"]))
+
+
+def test_checkpoint_missing_returns_none(tmp_path):
+    assert load_checkpoint(str(tmp_path / "nope.npz"), {"x": jnp.zeros(1)}) is None
+
+
+def test_w2v_device_resume(tmp_path):
+    from otto_tpu.config import Word2VecConfig
+    from otto_tpu.models.word2vec import train_word2vec_device
+    from tests.test_word2vec import simple_events
+
+    ev = simple_events(n_sessions=100, sess_len=6)
+    ck = str(tmp_path / "w2v_ck.npz")
+    cfg = Word2VecConfig(name="t", vector_size=8, min_count=1, epochs=2,
+                         batch_size=1024, window=3, subsample_t=0)
+    m1 = train_word2vec_device(ev, cfg, n_aids=20, checkpoint_path=ck)
+    assert os.path.exists(ck)
+    # resume: checkpoint says epochs done -> instant, same result
+    m2 = train_word2vec_device(ev, cfg, n_aids=20, checkpoint_path=ck)
+    np.testing.assert_array_equal(m1.emb, m2.emb)
+
+
+def test_report_name():
+    n = report_name("eval", tag="v1")
+    assert n.startswith("eval-")
+    assert "v1" in n
+
+
+def test_describe_numeric():
+    d = describe_numeric(np.arange(101))
+    assert d["min"] == 0 and d["max"] == 100
+    assert d["50%"] == 50
+
+
+def test_stage_timer():
+    t = StageTimer()
+    with t.stage("a"):
+        pass
+    assert "a" in t.stages
+    assert "total" in t.report()
+
+
+def test_time_fn():
+    r = time_fn("add", lambda x: x + 1, jnp.zeros(8), iters=2)
+    assert r.mean_s >= 0
+    assert r.compile_s >= r.mean_s * 0.1 or r.compile_s >= 0
+
+
+def test_per_source_eval_smoke():
+    from otto_tpu.data.schema import Labels
+    from otto_tpu.engine.retrieval import FEATURE_INDEX, F_TOTAL, RetrievedBatch
+    from otto_tpu.eval.per_source import eval_retrieved_by_source, format_report
+
+    S, C = 2, 4
+    cand = np.array([[5, 7, -1, -1], [9, -1, -1, -1]], np.int32)
+    feats = np.zeros((S, C, F_TOTAL), np.float32)
+    feats[:, :, FEATURE_INDEX["src_any"]] = (cand >= 0)
+    feats[0, 0, FEATURE_INDEX["src_self"]] = 1
+    feats[0, 1, FEATURE_INDEX["src_click_to_click"]] = 1
+    b = RetrievedBatch(
+        session=np.array([1, 2], np.int32),
+        cand=cand,
+        feats=feats,
+        ts_order=np.zeros((S, C), np.int32),
+    )
+    labels = Labels(
+        session=np.array([1], np.int32),
+        type=np.array([0], np.int8),
+        aid=np.array([7], np.int32),
+    )
+    rep = eval_retrieved_by_source([b], labels)
+    assert rep["src_any"]["clicks"]["topall"] == 1.0
+    assert rep["src_self"]["clicks"]["topall"] == 0.0       # 7 not from self
+    assert rep["src_click_to_click"]["clicks"]["topall"] == 1.0
+    assert rep["src_click_to_click & not self"]["clicks"]["topall"] == 1.0
+    assert "_counts" in rep
+    assert "src_any" in format_report(rep)

@@ -321,8 +321,10 @@ def retrieve_batch(
     cols2["n_aid_orders"] = (masked(stat_of(sa.n_aid_orders), 0), "sum")
 
     mt = stat_of(sa.max_ts_aid)
+    min_ts_col = ss.min_ts[:, None]  # baseline keeps per-segment sums in i32
     cols2["max_ts_aid"] = (masked(_null_to(mt, NULL, NEG_SENT), NEG_SENT), "max")
-    cols2["sum_max_ts_aid"] = (masked(jnp.where(mt == NULL, 0, mt), 0), "sum")
+    cols2["sum_rel_max_ts_aid"] = (
+        masked(jnp.where(mt == NULL, 0, mt - min_ts_col), 0), "sum")
     for suff, arr in (
         ("clicks", sa.max_ts_aid_clicks),
         ("carts", sa.max_ts_aid_carts),
@@ -332,7 +334,8 @@ def retrieve_batch(
         cols2[f"max_ts_aid_{suff}"] = (masked(_null_to(a, NULL, NEG_SENT), NEG_SENT), "max")
     mto = stat_of(sa.max_ts_aid_orders)
     has_o = keep & (mto != NULL)
-    cols2["sum_max_ts_aid_orders"] = (jnp.where(has_o, mto, 0), "sum")
+    cols2["sum_rel_max_ts_aid_orders"] = (
+        jnp.where(has_o, mto - min_ts_col, 0), "sum")
     cols2["cnt_max_ts_aid_orders"] = (has_o.astype(jnp.int32), "sum")
 
     for name, arr in (
@@ -521,23 +524,20 @@ def retrieve_batch(
           jnp.where(has_mt,
                     ((mt_max - min_ts_s).astype(jnp.float32) / span1 * 100)
                     .astype(jnp.int32), NULL))
-    mean_mt = (r2["sum_max_ts_aid"].astype(jnp.float32)
-               / n_uniq.astype(jnp.float32))
+    # sums are session-start-relative, so mean - min_ts == sum_rel / n
+    mean_rel_mt = (r2["sum_rel_max_ts_aid"].astype(jnp.float32)
+                   / n_uniq.astype(jnp.float32))
     out_i("rel_pos_mean_max_ts_aid_in_session",
-          jnp.where(has_mt,
-                    ((mean_mt - min_ts_s.astype(jnp.float32)) / span1 * 100)
-                    .astype(jnp.int32), NULL))
+          jnp.where(has_mt, (mean_rel_mt / span1 * 100).astype(jnp.int32),
+                    NULL))
     cnt_o = r2["cnt_max_ts_aid_orders"]
-    mean_mto = jnp.where(
-        cnt_o > 0,
-        r2["sum_max_ts_aid_orders"].astype(jnp.float32)
-        / jnp.maximum(cnt_o, 1).astype(jnp.float32),
-        0.0,
+    mean_rel_mto = (
+        r2["sum_rel_max_ts_aid_orders"].astype(jnp.float32)
+        / jnp.maximum(cnt_o, 1).astype(jnp.float32)
     )
     out_i("rel_pos_mean_max_ts_aid_orders_in_session",
           jnp.where(cnt_o > 0,
-                    ((mean_mto - min_ts_s.astype(jnp.float32)) / span1 * 100)
-                    .astype(jnp.int32), NULL))
+                    (mean_rel_mto / span1 * 100).astype(jnp.int32), NULL))
 
     # ts_order_aid: candidates only from pop get 999 (reference :599)
     f["ts_order_aid"] = jnp.where(valid, jnp.clip(ts_order_c, 0, 999), NULL).astype(jnp.float32)

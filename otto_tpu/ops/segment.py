@@ -44,7 +44,9 @@ def sort_compress(
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Groupby (k1, k2) -> sum(v). The device-side equivalent of
     `df.groupby(['aid', 'aid_next']).agg(pl.sum('count'))`
-    (reference: model/count_co_events.py:168).
+    (reference: model/count_co_events.py:168). SCATTERLESS: boundary
+    compaction by a second sort, per-segment sums by segmented scan
+    (within-segment accumulation only — no cross-segment overflow).
 
     Returns (uk1, uk2, uv, n_unique): unique keys packed at the front in
     ascending (k1, k2) order, padding rows carry SENTINEL keys and uv == 0.
@@ -58,12 +60,22 @@ def sort_compress(
     first = (k1s != _shift_right(k1s, NEG_SENTINEL)) | (
         k2s != _shift_right(k2s, NEG_SENTINEL)
     )
-    seg = jnp.cumsum(first) - 1  # 0-based segment id, ascending
-    sums = jax.ops.segment_sum(vs, seg, num_segments=n)
-    uk1 = jnp.full((n,), SENTINEL, dtype=k1.dtype).at[seg].set(k1s)
-    uk2 = jnp.full((n,), SENTINEL, dtype=k2.dtype).at[seg].set(k2s)
+
+    # segmented prefix-sum: last element of each segment = segment total
+    (a,) = segmented_scan((vs,), ("sum",), first, axis=0)
+
+    big = jnp.int32(n + 1)
+    pos = jnp.arange(n, dtype=jnp.int32)
+    (starts,) = lax.sort((jnp.where(first, pos, big),), num_keys=1)
+    next_start = jnp.concatenate([starts[1:], jnp.full((1,), big, jnp.int32)])
+    slot_valid = starts < n
+    idx_s = jnp.minimum(starts, n - 1)
+    idx_e = jnp.minimum(jnp.minimum(next_start, n) - 1, n - 1)
+
+    uk1 = jnp.where(slot_valid, k1s[idx_s], SENTINEL)
+    uk2 = jnp.where(slot_valid, k2s[idx_s], SENTINEL)
     is_pad = uk1 == SENTINEL
-    uv = jnp.where(is_pad, jnp.zeros_like(sums), sums)
+    uv = jnp.where(is_pad, jnp.zeros_like(a), a[idx_e])
     n_unique = jnp.sum(first & (k1s != SENTINEL)).astype(jnp.int32)
     return uk1, uk2, uv, n_unique
 
@@ -82,18 +94,26 @@ def sort_compress_multi(
         k2 = jnp.where(valid, k2, SENTINEL)
         values = tuple(jnp.where(valid, v, jnp.zeros_like(v)) for v in values)
     out = lax.sort((k1, k2) + tuple(values), num_keys=2)
-    k1s, k2s, vs = out[0], out[1], out[2:]
+    k1s, k2s, vs = out[0], out[1], list(out[2:])
     first = (k1s != _shift_right(k1s, NEG_SENTINEL)) | (
         k2s != _shift_right(k2s, NEG_SENTINEL)
     )
-    seg = jnp.cumsum(first) - 1
-    uk1 = jnp.full((n,), SENTINEL, dtype=k1.dtype).at[seg].set(k1s)
-    uk2 = jnp.full((n,), SENTINEL, dtype=k2.dtype).at[seg].set(k2s)
+
+    # segmented prefix-sums for all value columns in one fused scan
+    vs = list(segmented_scan(tuple(vs), ("sum",) * len(vs), first, axis=0))
+
+    big = jnp.int32(n + 1)
+    pos = jnp.arange(n, dtype=jnp.int32)
+    (starts,) = lax.sort((jnp.where(first, pos, big),), num_keys=1)
+    next_start = jnp.concatenate([starts[1:], jnp.full((1,), big, jnp.int32)])
+    slot_valid = starts < n
+    idx_s = jnp.minimum(starts, n - 1)
+    idx_e = jnp.minimum(jnp.minimum(next_start, n) - 1, n - 1)
+
+    uk1 = jnp.where(slot_valid, k1s[idx_s], SENTINEL)
+    uk2 = jnp.where(slot_valid, k2s[idx_s], SENTINEL)
     is_pad = uk1 == SENTINEL
-    uvs = []
-    for v in vs:
-        s = jax.ops.segment_sum(v, seg, num_segments=n)
-        uvs.append(jnp.where(is_pad, jnp.zeros_like(s), s))
+    uvs = [jnp.where(is_pad, jnp.zeros_like(a), a[idx_e]) for a in vs]
     n_unique = jnp.sum(first & (k1s != SENTINEL)).astype(jnp.int32)
     return uk1, uk2, tuple(uvs), n_unique
 
@@ -133,7 +153,8 @@ def ordinal_rank_desc(
     g_s, v_s, perm_s = lax.sort((group, neg_v, perm), num_keys=2, is_stable=True)
     starts = segment_starts(g_s)
     rank_sorted = jnp.arange(n, dtype=jnp.int32) - starts + 1
-    rank = jnp.zeros((n,), jnp.int32).at[perm_s].set(rank_sorted)
+    # inverse permutation via sort (scatterless)
+    _, rank = lax.sort((perm_s, rank_sorted), num_keys=1)
     if valid is not None:
         rank = jnp.where(valid, rank, SENTINEL)
     return rank
@@ -207,19 +228,9 @@ def rowwise_unique_sum(
     The per-session dedup + aggregation at the heart of retrieval
     (reference: model/retrieve.py:391-393 groupby (session, aid_next)).
     """
-    S, C = key.shape
-    (ks,), vs = rowwise_sort((key,), values)
-    first = ks != _shift_right(ks, NEG_SENTINEL)
-    seg = jnp.cumsum(first, axis=-1) - 1  # per-row segment ids, 0-based
-    rows = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[:, None], (S, C))
-    uk = jnp.full((S, C), SENTINEL, jnp.int32).at[rows, seg].set(ks)
-    uvs = tuple(
-        jnp.zeros((S, C), v.dtype).at[rows, seg].add(v) for v in vs
-    )
-    is_pad = uk == SENTINEL
-    uvs = tuple(jnp.where(is_pad, jnp.zeros_like(v), v) for v in uvs)
-    n_unique = jnp.sum(first & (ks != SENTINEL), axis=-1).astype(jnp.int32)
-    return uk, uvs, n_unique
+    cols = {f"v{i}": (v, "sum") for i, v in enumerate(values)}
+    uk, out, n_unique = rowwise_groupby(key, cols)
+    return uk, tuple(out[f"v{i}"] for i in range(len(values))), n_unique
 
 
 def rowwise_segment_reduce(
@@ -233,38 +244,74 @@ def rowwise_segment_reduce(
     (SENTINEL for min, NEG_SENTINEL/0 handled by caller).
     """
     assert len(values) == len(reducers)
-    S, C = key.shape
-    (ks,), vs = rowwise_sort((key,), values)
-    first = ks != _shift_right(ks, NEG_SENTINEL)
-    seg = jnp.cumsum(first, axis=-1) - 1
-    rows = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[:, None], (S, C))
-    uk = jnp.full((S, C), SENTINEL, jnp.int32).at[rows, seg].set(ks)
-    outs = []
-    for v, r in zip(vs, reducers):
-        if r == "sum" or r == "count":
-            o = jnp.zeros((S, C), v.dtype).at[rows, seg].add(v)
-        elif r == "max":
-            o = jnp.full((S, C), NEG_SENTINEL, v.dtype).at[rows, seg].max(v)
-        elif r == "min":
-            o = jnp.full((S, C), SENTINEL, v.dtype).at[rows, seg].min(v)
-        else:
-            raise ValueError(r)
-        outs.append(o)
-    n_unique = jnp.sum(first & (ks != SENTINEL), axis=-1).astype(jnp.int32)
-    return uk, tuple(outs), n_unique
+    cols = {
+        f"v{i}": (v, "sum" if r == "count" else r)
+        for i, (v, r) in enumerate(zip(values, reducers))
+    }
+    uk, out, n_unique = rowwise_groupby(key, cols)
+    return uk, tuple(out[f"v{i}"] for i in range(len(values))), n_unique
+
+
+def segmented_scan(
+    values: Tuple[jnp.ndarray, ...],
+    reducers: Tuple[str, ...],
+    first: jnp.ndarray,
+    axis: int = -1,
+) -> Tuple[jnp.ndarray, ...]:
+    """Inclusive segmented prefix-reduce along `axis` for several columns in
+    ONE lax.associative_scan (log-depth, fused). `first` marks segment
+    starts; after the scan, the LAST element of each segment holds the
+    segment's full reduction. Sums only accumulate within segments, so i32
+    never sees cross-segment totals."""
+    firsts = jnp.broadcast_to(first, values[0].shape)
+
+    def op(a, b):
+        # a = earlier, b = later; b restarts its segment when b.first
+        out = []
+        for (va, vb, red) in zip(a[:-1], b[:-1], reducers):
+            if red == "sum":
+                merged = va + vb
+            elif red == "max":
+                merged = jnp.maximum(va, vb)
+            else:
+                merged = jnp.minimum(va, vb)
+            out.append(jnp.where(b[-1], vb, merged))
+        return tuple(out) + (a[-1] | b[-1],)
+
+    res = lax.associative_scan(op, tuple(values) + (firsts,), axis=axis)
+    return res[:-1]
+
+
+def _reduce_identity(dtype, red: str):
+    if red == "sum":
+        return jnp.zeros((), dtype)
+    if jnp.issubdtype(dtype, jnp.floating):
+        return jnp.array(
+            jnp.finfo(dtype).max if red == "min" else jnp.finfo(dtype).min,
+            dtype,
+        )
+    return jnp.array(SENTINEL if red == "min" else NEG_SENTINEL, dtype)
+
+
+def _shift_right_by(x: jnp.ndarray, d: int, fill) -> jnp.ndarray:
+    return jnp.concatenate(
+        [jnp.full_like(x[..., :d], fill), x[..., :-d]], axis=-1
+    )
 
 
 def rowwise_groupby(
     key: jnp.ndarray,
     columns: dict,
 ) -> Tuple[jnp.ndarray, dict, jnp.ndarray]:
-    """Per-row groupby with one sort for any number of columns.
+    """Per-row groupby, SCATTERLESS (TPU scatters are ~1000x slower than
+    gathers; see bench notes in ARCHITECTURE.md).
 
     `columns` maps name -> (array [S, C], reducer), reducer in
-    {'sum', 'min', 'max'}. The key is sorted ONCE carrying a permutation;
-    every column is then gathered through it (cheap) and scatter-reduced.
-    'min'/'max' columns must encode absent lanes as SENTINEL/NEG_SENTINEL
-    (or other identity) themselves.
+    {'sum', 'min', 'max'}. One sort orders the keys (carrying a
+    permutation); every column is gathered through it. Sums use
+    cumsum + segment-boundary differences; min/max use a segmented
+    Hillis-Steele scan (log2(C) shifted selects, shared masks across
+    columns); the per-row segment-start compaction is a second sort.
 
     Returns (unique_key [S, C] SENTINEL back-padded, {name: reduced [S, C]},
     n_unique [S]). Reduced padding lanes carry each reducer's identity.
@@ -273,31 +320,40 @@ def rowwise_groupby(
     pos = jnp.broadcast_to(jnp.arange(C, dtype=jnp.int32)[None, :], (S, C))
     (ks,), (perm,) = rowwise_sort((key,), (pos,))
     first = ks != _shift_right(ks, NEG_SENTINEL)
-    seg = jnp.cumsum(first, axis=-1) - 1
-    rows = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[:, None], (S, C))
-    uk = jnp.full((S, C), SENTINEL, jnp.int32).at[rows, seg].set(ks)
+
+    # compaction: j-th slot <- start position of segment j (second sort)
+    big = jnp.int32(C + 1)
+    (starts,), () = rowwise_sort((jnp.where(first, pos, big),), ())
+    next_start = jnp.concatenate(
+        [starts[:, 1:], jnp.full((S, 1), big, jnp.int32)], axis=1
+    )
+    slot_valid = starts < C
+    idx_s = jnp.minimum(starts, C - 1)
+    idx_e = jnp.minimum(jnp.minimum(next_start, C) - 1, C - 1)
+
+    uk = jnp.where(
+        slot_valid, jnp.take_along_axis(ks, idx_s, axis=1), SENTINEL
+    )
+    is_pad_slot = uk == SENTINEL
+
+    # pre-gather all columns through the permutation (cheap), then one fused
+    # segmented scan across every column: the LAST element of each segment
+    # holds its reduction. Sums accumulate only within segments, so int32
+    # never sees cross-segment totals (a row cumsum would overflow on
+    # timestamp columns).
+    names = list(columns.keys())
+    gathered = [
+        jnp.take_along_axis(columns[n][0], perm, axis=1) for n in names
+    ]
+    reducers = tuple(columns[n][1] for n in names)
+    scanned = segmented_scan(tuple(gathered), reducers, first, axis=1)
+
     out = {}
-    for name, (arr, red) in columns.items():
-        a = jnp.take_along_axis(arr, perm, axis=1)
-        if red == "sum":
-            o = jnp.zeros((S, C), arr.dtype).at[rows, seg].add(a)
-        elif red == "max":
-            ident = (
-                jnp.finfo(arr.dtype).min
-                if jnp.issubdtype(arr.dtype, jnp.floating)
-                else NEG_SENTINEL
-            )
-            o = jnp.full((S, C), ident, arr.dtype).at[rows, seg].max(a)
-        elif red == "min":
-            ident = (
-                jnp.finfo(arr.dtype).max
-                if jnp.issubdtype(arr.dtype, jnp.floating)
-                else SENTINEL
-            )
-            o = jnp.full((S, C), ident, arr.dtype).at[rows, seg].min(a)
-        else:
-            raise ValueError(red)
-        out[name] = o
+    for n, a, s, red in zip(names, gathered, scanned, reducers):
+        o = jnp.take_along_axis(s, idx_e, axis=1)
+        ident = _reduce_identity(a.dtype, red)
+        o = jnp.where(is_pad_slot, ident, o)
+        out[n] = o
     n_unique = jnp.sum(first & (ks != SENTINEL), axis=-1).astype(jnp.int32)
     return uk, out, n_unique
 
@@ -311,8 +367,8 @@ def rowwise_rank_desc(value: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
     pos = jnp.broadcast_to(jnp.arange(C, dtype=jnp.int32)[None, :], (S, C))
     _, (perm_s,) = rowwise_sort((neg_v,), (pos,))
     rank_sorted = jnp.broadcast_to(jnp.arange(C, dtype=jnp.int32)[None, :], (S, C)) + 1
-    rows = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[:, None], (S, C))
-    rank = jnp.zeros((S, C), jnp.int32).at[rows, perm_s].set(rank_sorted)
+    # inverse permutation via sort (scatterless)
+    _, (rank,) = rowwise_sort((perm_s,), (rank_sorted,))
     return jnp.where(valid, rank, SENTINEL)
 
 

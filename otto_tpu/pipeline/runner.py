@@ -243,8 +243,17 @@ class Pipeline:
                 feats, y, sess = rank_engine.downsample(
                     batches, targets, TYPE2ID[tname], cfg.ranker
                 )
+                # session-level 75/25 train/valid split for ndcg reporting
+                # (reference: model/train_lgbm_rankers.py:184-204 file split)
+                u_sess = np.unique(sess)
+                n_train = max(1, int(len(u_sess) * 0.75))
+                valid_set = None
+                if len(u_sess) - n_train >= 8:
+                    vmask = np.isin(sess, u_sess[n_train:])
+                    valid_set = (feats[vmask], y[vmask], sess[vmask])
+                    feats, y, sess = feats[~vmask], y[~vmask], sess[~vmask]
                 rankers[tname] = train_ranker(
-                    feats, y, sess, FEATURE_NAMES, cfg.ranker
+                    feats, y, sess, FEATURE_NAMES, cfg.ranker, valid=valid_set
                 )
                 rankers[tname].save(rpath)
                 self._log(f"ranker {tname}", t0, f"{len(y)} rows")

@@ -136,7 +136,7 @@ def _null_to(x, ident, repl):
     return jnp.where(x == ident, repl, x)
 
 
-@partial(jax.jit, static_argnums=(5, 6))
+@partial(jax.jit, static_argnums=(5, 6, 7))
 def retrieve_batch(
     padded: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray],  # aid, ts, type [S, L]
     ctx: RetrievalContext,
@@ -145,6 +145,7 @@ def retrieve_batch(
     trim_params: jnp.ndarray,    # [3] float32: max_at_1, min_n, delta
     keep_aids: int,
     max_candidates: int,
+    _stop_after: str = "",       # profiling hook: 'fanout'|'l1'|'l2'|'compact'
 ):
     aid, ts, type_ = padded
     S, L = aid.shape
@@ -253,6 +254,8 @@ def retrieve_batch(
         flat_valid, (flat_i << AID_BITS) | flat_cand, SENT
     )
 
+    if _stop_after == "fanout":
+        return flat_cand, flat_i, key1
     # ---------------- Stage C: level-1 dedup + trim --------------------------
     cols1 = {}
     for t in range(n_cov):
@@ -302,6 +305,8 @@ def retrieve_batch(
         | (best_w2v.astype(jnp.float32) <= th)
     )
 
+    if _stop_after == "l1":
+        return e_cand, keep, best_co
     # ---------------- Stage D: level-2 groupby candidate ---------------------
     key2_main = jnp.where(keep, e_cand, SENT)
 
@@ -433,6 +438,8 @@ def retrieve_batch(
     uk2, red2, _ = seg.rowwise_groupby(key2, cols2p)
     c_valid = uk2 != SENT
 
+    if _stop_after == "l2":
+        return uk2, red2["n_uniq_aid"]
     # ---------------- Stage E: compaction ------------------------------------
     ts_order = jnp.where(
         c_valid, _null_to(red2["ts_order_aid"], SENT, 999), SENT
@@ -453,6 +460,8 @@ def retrieve_batch(
     r2 = {n: compact(a) for n, a in red2.items()}
     ts_order_c = compact(ts_order)
 
+    if _stop_after == "compact":
+        return cand, ts_order_c
     # ---------------- final feature assembly --------------------------------
     f: Dict[str, jnp.ndarray] = {}
 

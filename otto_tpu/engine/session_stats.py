@@ -81,9 +81,7 @@ def compute_session_stats(aid, ts, type_) -> SessionStats:
     # unique aid count per session via rowwise sort
     key = jnp.where(valid, aid, SENT)
     (ks,), _ = seg.rowwise_sort((key,), ())
-    first = (ks != jnp.concatenate(
-        [jnp.full_like(ks[:, :1], NEG_SENT), ks[:, :-1]], axis=1
-    )) & (ks != SENT)
+    first = (ks != seg._shift_right(ks, NEG_SENT)) & (ks != SENT)
     n_aids = jnp.sum(first, axis=1).astype(jnp.int32)
     only_orders = (
         (n_clicks == 0) & (n_carts == 0) & (n_orders > 0)

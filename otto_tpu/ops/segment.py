@@ -27,10 +27,23 @@ NEG_SENTINEL = jnp.int32(-(2**31 - 1))
 
 
 def _shift_right(x: jnp.ndarray, fill) -> jnp.ndarray:
-    """x[i-1] with x[-1] := fill, along the last axis."""
-    return jnp.concatenate(
-        [jnp.full_like(x[..., :1], fill), x[..., :-1]], axis=-1
-    )
+    """x[i-1] with x[0] := fill, along the last axis.
+
+    Implemented as roll + masked first lane: the natural
+    concatenate([fill, x[..., :-1]]) formulation triggers a catastrophic
+    XLA/Mosaic fusion pathology when composed after lax.sort on TPU
+    (measured: 215s compile / 90x slower run vs 2.6s / baseline for roll).
+    """
+    sh = jnp.roll(x, 1, axis=-1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    return jnp.where(lane == 0, fill, sh)
+
+
+def _shift_left(x: jnp.ndarray, fill) -> jnp.ndarray:
+    """x[i+1] with x[-1] := fill, along the last axis (roll-based)."""
+    sh = jnp.roll(x, -1, axis=-1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1)
+    return jnp.where(lane == x.shape[-1] - 1, fill, sh)
 
 
 # ---------------------------------------------------------------------------
@@ -67,7 +80,7 @@ def sort_compress(
     big = jnp.int32(n + 1)
     pos = jnp.arange(n, dtype=jnp.int32)
     (starts,) = lax.sort((jnp.where(first, pos, big),), num_keys=1)
-    next_start = jnp.concatenate([starts[1:], jnp.full((1,), big, jnp.int32)])
+    next_start = _shift_left(starts, big)
     slot_valid = starts < n
     idx_s = jnp.minimum(starts, n - 1)
     idx_e = jnp.minimum(jnp.minimum(next_start, n) - 1, n - 1)
@@ -105,7 +118,7 @@ def sort_compress_multi(
     big = jnp.int32(n + 1)
     pos = jnp.arange(n, dtype=jnp.int32)
     (starts,) = lax.sort((jnp.where(first, pos, big),), num_keys=1)
-    next_start = jnp.concatenate([starts[1:], jnp.full((1,), big, jnp.int32)])
+    next_start = _shift_left(starts, big)
     slot_valid = starts < n
     idx_s = jnp.minimum(starts, n - 1)
     idx_e = jnp.minimum(jnp.minimum(next_start, n) - 1, n - 1)
@@ -252,34 +265,48 @@ def rowwise_segment_reduce(
     return uk, tuple(out[f"v{i}"] for i in range(len(values))), n_unique
 
 
+def _roll_right_by(x: jnp.ndarray, d: int, fill, axis: int) -> jnp.ndarray:
+    """Shift by d along `axis`, filling the first d lanes. Roll-based: sliced
+    concatenation shifts trigger an XLA/Mosaic pathology after sorts."""
+    sh = jnp.roll(x, d, axis=axis)
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, axis % x.ndim)
+    return jnp.where(lane < d, fill, sh)
+
+
 def segmented_scan(
     values: Tuple[jnp.ndarray, ...],
     reducers: Tuple[str, ...],
     first: jnp.ndarray,
     axis: int = -1,
 ) -> Tuple[jnp.ndarray, ...]:
-    """Inclusive segmented prefix-reduce along `axis` for several columns in
-    ONE lax.associative_scan (log-depth, fused). `first` marks segment
-    starts; after the scan, the LAST element of each segment holds the
-    segment's full reduction. Sums only accumulate within segments, so i32
-    never sees cross-segment totals."""
-    firsts = jnp.broadcast_to(first, values[0].shape)
-
-    def op(a, b):
-        # a = earlier, b = later; b restarts its segment when b.first
-        out = []
-        for (va, vb, red) in zip(a[:-1], b[:-1], reducers):
+    """Inclusive segmented prefix-reduce along `axis` for several columns:
+    a Hillis-Steele log-depth network of roll + select steps (shift masks
+    shared across columns per step). `first` marks segment starts; after the
+    scan, the LAST element of each segment holds the segment's full
+    reduction. Sums only accumulate within segments, so i32 never sees
+    cross-segment totals."""
+    n = values[0].shape[axis]
+    vals = list(values)
+    # blocked[i]: element i's running window already reaches its segment
+    # start — stop absorbing earlier elements. Standard (v, f) monoid:
+    # (v1,f1)+(v2,f2) = (f2 ? v2 : op(v1,v2), f1|f2).
+    blocked = jnp.broadcast_to(first, values[0].shape)
+    d = 1
+    while d < n:
+        b_sh = _roll_right_by(blocked, d, True, axis)
+        for i, (a, red) in enumerate(zip(vals, reducers)):
+            ident = _reduce_identity(a.dtype, red)
+            a_sh = _roll_right_by(a, d, ident, axis)
             if red == "sum":
-                merged = va + vb
+                combined = a + a_sh
             elif red == "max":
-                merged = jnp.maximum(va, vb)
+                combined = jnp.maximum(a, a_sh)
             else:
-                merged = jnp.minimum(va, vb)
-            out.append(jnp.where(b[-1], vb, merged))
-        return tuple(out) + (a[-1] | b[-1],)
-
-    res = lax.associative_scan(op, tuple(values) + (firsts,), axis=axis)
-    return res[:-1]
+                combined = jnp.minimum(a, a_sh)
+            vals[i] = jnp.where(blocked, a, combined)
+        blocked = blocked | b_sh
+        d *= 2
+    return tuple(vals)
 
 
 def _reduce_identity(dtype, red: str):
@@ -324,9 +351,7 @@ def rowwise_groupby(
     # compaction: j-th slot <- start position of segment j (second sort)
     big = jnp.int32(C + 1)
     (starts,), () = rowwise_sort((jnp.where(first, pos, big),), ())
-    next_start = jnp.concatenate(
-        [starts[:, 1:], jnp.full((S, 1), big, jnp.int32)], axis=1
-    )
+    next_start = _shift_left(starts, big)
     slot_valid = starts < C
     idx_s = jnp.minimum(starts, C - 1)
     idx_e = jnp.minimum(jnp.minimum(next_start, C) - 1, C - 1)

@@ -38,7 +38,7 @@ def main() -> int:
 
     n_sessions = int(os.environ.get("OTTO_BENCH_SESSIONS", 20_000))
     n_aids = int(os.environ.get("OTTO_BENCH_AIDS", 50_000))
-    batch_s = int(os.environ.get("OTTO_BENCH_BATCH", 256))
+    batch_s = int(os.environ.get("OTTO_BENCH_BATCH", 512))
 
     t0 = time.time()
     spec = SyntheticSpec(
@@ -78,10 +78,15 @@ def main() -> int:
     )
     trim = jnp.asarray([20.0, 3.0, 17.0 / 29.0], jnp.float32)
 
-    # single bucket shape to bound compile count; sessions padded to L=64
-    packed = pack_sessions(sp.test, bucket_lens=(64,))[0]
-    mbs = list(iter_microbatches(packed, batch_s))
-    print(f"# {len(mbs)} batches of {batch_s} sessions", file=sys.stderr)
+    # realistic length-bucketing: short sessions (the vast majority) run
+    # through much smaller fan-out grids
+    packs = pack_sessions(sp.test, bucket_lens=(8, 32, 64))
+    jobs = []  # (padded microbatches, bucket length)
+    for p in packs:
+        mbs = list(iter_microbatches(p, batch_s))
+        jobs.append(mbs)
+        print(f"# bucket L={p.max_len}: {p.n_sessions} sessions, "
+              f"{len(mbs)} batches", file=sys.stderr)
 
     def run_one(mb):
         cluster = jnp.zeros((batch_s,), jnp.int32)
@@ -92,15 +97,18 @@ def main() -> int:
             cfg.max_session_aids, cfg.max_candidates,
         )
 
-    # warmup / compile
-    jax.block_until_ready(run_one(mbs[0]))
+    # warmup / compile each bucket shape
+    for mbs in jobs:
+        jax.block_until_ready(run_one(mbs[0]))
     print(f"# compiled {time.time()-t0:.1f}s", file=sys.stderr)
 
     n_measured = 0
     t = time.time()
-    for mb in mbs[:8]:
-        out = run_one(mb)
-        n_measured += int((mb.session >= 0).sum())
+    out = None
+    for mbs in jobs:
+        for mb in mbs:
+            out = run_one(mb)
+            n_measured += int((mb.session >= 0).sum())
     jax.block_until_ready(out)
     dt = time.time() - t
 

@@ -120,8 +120,11 @@ class RetrievalConfig:
     trim_min_at_order: int = 20
 
     # Dense padded shapes for the TPU retrieval engine (no reference analogue:
-    # the reference works on ragged DataFrames; we pad).
-    max_session_aids: int = 64      # kept unique aids per session fed to sources
+    # the reference works on ragged DataFrames; we pad). Length bucketing
+    # bounds the work: a bucket-8 session costs ~7x less than a bucket-64
+    # one (fan-out grid is A_k * 121 entries, A_k <= L). p99 of unique aids
+    # per test session is ~38 (reference: model/w2vec_aids.py:228-229).
+    max_session_aids: int = 32      # kept unique aids per session fed to sources
     max_candidates: int = 512       # padded candidate set per session
     session_len_buckets: Tuple[int, ...] = (8, 32, 128, 512)
 

@@ -108,6 +108,10 @@ FEATURE_NAMES: Tuple[str, ...] = (
     "rank_clicks_cl1", "rank_carts_cl1", "rank_orders_cl1",
     # embedding similarity (reference :604-625)
     "cos_sim_ses_aid", "eucl_dist_ses_aid",
+    # cross-source heuristic prior (otto_tpu extension, not in the
+    # reference catalogue: recency-weighted normalized co-visit mass —
+    # the baseline recommender's score as a ranker input)
+    "heur_score",
 )
 F_TOTAL = len(FEATURE_NAMES)
 FEATURE_INDEX = {n: i for i, n in enumerate(FEATURE_NAMES)}
@@ -457,11 +461,23 @@ def retrieve_batch(
 
     cand = compact(jnp.where(c_valid, uk2, -1))
     valid = cand >= 0
-    r2 = {n: compact(a) for n, a in red2.items()}
     ts_order_c = compact(ts_order)
+    # compact all reduced columns with ONE stacked gather per dtype (many
+    # separate sort-index gathers hit a severe TPU slow path)
+    r2: Dict[str, jnp.ndarray] = {}
+    for want_dtype in (jnp.int32, jnp.float32):
+        names = [n for n, a in red2.items() if a.dtype == want_dtype]
+        if not names:
+            continue
+        st = jnp.stack([red2[n] for n in names], axis=0)  # [k, S, P2]
+        stc = jnp.take_along_axis(st, take[None, :, :], axis=2)
+        for i, n in enumerate(names):
+            r2[n] = stc[i]
 
     if _stop_after == "compact":
         return cand, ts_order_c
+    if _stop_after == "r2":
+        return cand, tuple(r2.values())
     # ---------------- final feature assembly --------------------------------
     f: Dict[str, jnp.ndarray] = {}
 
@@ -618,6 +634,15 @@ def retrieve_batch(
     has_emb = n_c > 1e-9
     f["cos_sim_ses_aid"] = jnp.where(valid & has_emb, cos, 0.0).astype(jnp.float32)
     f["eucl_dist_ses_aid"] = jnp.where(valid & has_emb, eucl, NULL).astype(jnp.float32)
+
+    # heuristic prior: self recency boost + summed normalized co-visit mass
+    # (otto_tpu extension — the baseline recommender's score as an input)
+    heur = jnp.where(r2["slf_present"] > 0,
+                     10.0 / jnp.maximum(f["slf_ts_order"], 1.0), 0.0)
+    for name in COVIS_NAMES:
+        crel = f[f"{name}_count_rel"]
+        heur = heur + jnp.where(crel > 0, crel / 100.0, 0.0)
+    f["heur_score"] = jnp.where(valid, heur, 0.0).astype(jnp.float32)
 
     feats = jnp.stack([f[name] for name in FEATURE_NAMES], axis=2)
     return cand, feats, jnp.clip(ts_order_c, 0, 999)

@@ -361,24 +361,28 @@ def rowwise_groupby(
     )
     is_pad_slot = uk == SENTINEL
 
-    # pre-gather all columns through the permutation (cheap), then one fused
-    # segmented scan across every column: the LAST element of each segment
-    # holds its reduction. Sums accumulate only within segments, so int32
-    # never sees cross-segment totals (a row cumsum would overflow on
-    # timestamp columns).
-    names = list(columns.keys())
-    gathered = [
-        jnp.take_along_axis(columns[n][0], perm, axis=1) for n in names
-    ]
-    reducers = tuple(columns[n][1] for n in names)
-    scanned = segmented_scan(tuple(gathered), reducers, first, axis=1)
+    # Group columns by (dtype, reducer) and STACK each group into one
+    # [S, C, k] tensor: one permutation gather, one segmented scan, one
+    # output gather per group — many small sort-index gathers in one program
+    # hit a severe XLA/TPU slow path (measured seconds vs sub-ms stacked).
+    # The scan accumulates only within segments, so int32 never sees
+    # cross-segment totals (a row cumsum would overflow on ts columns).
+    groups: dict = {}
+    for n, (arr, red) in columns.items():
+        groups.setdefault((jnp.dtype(arr.dtype).name, red), []).append(n)
 
     out = {}
-    for n, a, s, red in zip(names, gathered, scanned, reducers):
-        o = jnp.take_along_axis(s, idx_e, axis=1)
-        ident = _reduce_identity(a.dtype, red)
-        o = jnp.where(is_pad_slot, ident, o)
-        out[n] = o
+    for (dtype_name, red), names in groups.items():
+        # stack on axis 0: [k, S, C] keeps C in the (aligned) lane dim, so
+        # the scan's rolls are cheap lane shifts and k is a pure batch dim
+        st = jnp.stack([columns[n][0] for n in names], axis=0)
+        g = jnp.take_along_axis(st, perm[None, :, :], axis=2)
+        (scanned,) = segmented_scan((g,), (red,), first[None, :, :], axis=2)
+        o = jnp.take_along_axis(scanned, idx_e[None, :, :], axis=2)
+        ident = _reduce_identity(st.dtype, red)
+        o = jnp.where(is_pad_slot[None, :, :], ident, o)
+        for i, n in enumerate(names):
+            out[n] = o[i]
     n_unique = jnp.sum(first & (ks != SENTINEL), axis=-1).astype(jnp.int32)
     return uk, out, n_unique
 

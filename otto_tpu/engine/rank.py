@@ -51,7 +51,8 @@ def downsample(
         keep = (valid & (y > 0)) | keep_neg
         keep &= keep_sessions[:, None]
         si, ci = np.nonzero(keep)
-        feats_out.append(b.feats[si, ci])
+        # device-side row gather -> only the selected rows cross the link
+        feats_out.append(b.feats_rows(si, ci))
         lab_out.append(y[si, ci])
         sess_out.append(b.session[si])
     if not feats_out:

@@ -130,10 +130,17 @@ class RetrievalContext(NamedTuple):
 
 
 class RetrievedBatch(NamedTuple):
-    session: np.ndarray     # [S]
-    cand: np.ndarray        # [S, C] int32, -1 pad
-    feats: np.ndarray       # [S, C, F] float32
+    session: np.ndarray     # [S] (host)
+    cand: np.ndarray        # [S, C] int32, -1 pad (host)
+    feats: "np.ndarray | jnp.ndarray"  # [S, C, F] float32 — stays ON DEVICE
+    # by default: pulling ~100MB feature tensors per batch through the host
+    # link dominated pipeline wall-clock; downsample/scoring gather the few
+    # rows they need on device instead (HBM-resident candidate store).
     ts_order: np.ndarray    # [S, C] candidate recency (999 = non-self source)
+
+    def feats_rows(self, si: np.ndarray, ci: np.ndarray) -> np.ndarray:
+        """Gather [n, F] candidate rows (device gather -> small host pull)."""
+        return np.asarray(self.feats[si, ci])
 
 
 def _null_to(x, ident, repl):
@@ -717,7 +724,10 @@ class Retriever:
                     RetrievedBatch(
                         session=mb.session[keep],
                         cand=np.asarray(cand)[keep],
-                        feats=np.asarray(feats)[keep],
+                        # feats stay device-resident; padding rows sliced
+                        # lazily by consumers via the host-side `keep` index
+                        feats=feats if bool(keep.all())
+                        else feats[jnp.asarray(np.nonzero(keep)[0])],
                         ts_order=np.asarray(ts_order)[keep],
                     )
                 )

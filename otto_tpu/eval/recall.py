@@ -42,26 +42,30 @@ def _hits_per_session(
         lorder = np.lexsort((lab.aid, lab.session))
         ls, la = lab.session[lorder], lab.aid[lorder]
         # truth per session, capped (reference: model/eval_submission.py:48)
-        u_sess, l_start = np.unique(ls, return_index=True)
-        l_end = np.append(l_start[1:], len(ls))
-        true = np.minimum(l_end - l_start, truth_cap)
+        u_sess, l_sess_idx = np.unique(ls, return_inverse=True)
+        true = np.minimum(np.bincount(l_sess_idx), truth_cap)
 
-        # locate prediction rows for labeled sessions
+        # locate prediction rows for labeled sessions (vectorized)
         p_idx = np.searchsorted(ps, u_sess)
         has_pred = (p_idx < len(ps)) & (ps[np.minimum(p_idx, len(ps) - 1)] == u_sess)
+        row_of_label = p_idx[l_sess_idx]
+        label_has_pred = has_pred[l_sess_idx]
 
-        hits = {c: np.zeros(len(u_sess), np.int64) for c in cutoffs}
-        hits_all = np.zeros(len(u_sess), np.int64)
-        for si in np.nonzero(has_pred)[0]:
-            preds = pa[p_idx[si]]
-            labs = set(la[l_start[si] : l_end[si]].tolist())
-            found_rank = [r for r, a in enumerate(preds) if a >= 0 and a in labs]
-            hits_all[si] = min(len(found_rank), truth_cap)
-            for c in cutoffs:
-                hits[c][si] = min(sum(1 for r in found_rank if r < c), truth_cap)
+        # each label's rank in its session's prediction list (or K = miss)
+        rows = pa[np.minimum(row_of_label, len(pa) - 1)]         # [L, K]
+        eq = (rows == la[:, None]) & (rows >= 0)
+        found_rank = np.where(eq.any(axis=1), eq.argmax(axis=1), K)
+        found_rank = np.where(label_has_pred, found_rank, K)
 
-        res = {str(c): float(hits[c].sum()) / float(true.sum()) for c in cutoffs}
-        res["all"] = float(hits_all.sum()) / float(true.sum())
+        res = {}
+        for c in list(cutoffs) + ["all"]:
+            lim = K if c == "all" else min(int(c), K)
+            hit = found_rank < lim
+            per_sess = np.minimum(
+                np.bincount(l_sess_idx[hit], minlength=len(u_sess)), truth_cap
+            )
+            key = "all" if c == "all" else str(c)
+            res[key] = float(per_sess.sum()) / float(true.sum())
         out[type_id] = res
     return out
 

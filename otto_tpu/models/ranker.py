@@ -256,7 +256,9 @@ def train_ranker(
                 cfg.eval_at,
             )
         msg = f"ranker epoch {epoch}: loss={float(loss):.5f}"
-        if valid is not None:
+        # valid ndcg only on the final epoch: the eval re-uploads the whole
+        # valid set, which dominates epoch time on tunneled runtimes
+        if valid is not None and epoch == cfg.epochs - 1:
             vf, vl, vs = valid
             vfg, vlg, vmg = _group_pad(vf, vl, vs, cfg.max_group)
             r = Ranker(cfg, params, feature_names)
@@ -268,22 +270,22 @@ def train_ranker(
 
 
 def _group_pad(feats, labels, sessions, max_group):
-    """[N, F] rows -> [n_groups, max_group, F] padded groups by session."""
-    u_sess, starts = np.unique(sessions, return_index=True)
-    ends = np.append(starts[1:], len(sessions))
+    """[N, F] rows -> [n_groups, max_group, F] padded groups by session.
+    Vectorized; when truncating a group, positives sort first so the
+    supervision signal is never dropped."""
+    # order rows by (session, -label): positives lead each group
+    order = np.lexsort((-labels, sessions))
+    s_s, l_s, f_s = sessions[order], labels[order], feats[order]
+    u_sess, starts = np.unique(s_s, return_index=True)
     n_g = len(u_sess)
+    gi = np.searchsorted(u_sess, s_s)
+    pos = np.arange(len(s_s)) - starts[gi]
+    keep = pos < max_group
     F = feats.shape[1]
     fg = np.zeros((n_g, max_group, F), np.float32)
     lg = np.zeros((n_g, max_group), np.float32)
     mg = np.zeros((n_g, max_group), bool)
-    for gi, (s, e) in enumerate(zip(starts, ends)):
-        n = min(e - s, max_group)
-        # keep positives first if truncating (don't drop the signal)
-        idx = np.arange(s, e)
-        if e - s > max_group:
-            order = np.argsort(-labels[s:e], kind="stable")
-            idx = s + order[:max_group]
-        fg[gi, :n] = feats[idx[:n]]
-        lg[gi, :n] = labels[idx[:n]]
-        mg[gi, :n] = True
+    fg[gi[keep], pos[keep]] = f_s[keep]
+    lg[gi[keep], pos[keep]] = l_s[keep]
+    mg[gi[keep], pos[keep]] = True
     return fg, lg, mg

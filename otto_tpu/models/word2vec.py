@@ -27,6 +27,7 @@ from typing import Iterator, NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from otto_tpu.config import Word2VecConfig
 from otto_tpu.data.schema import Events
@@ -137,8 +138,7 @@ sgns_step_ref = sgns_step
 # (the gensim path re-reads all sentences per epoch,
 # reference: model/w2vec_aids.py:62-63).
 # ---------------------------------------------------------------------------
-@partial(jax.jit, static_argnums=(6, 7, 8), donate_argnums=(0,))
-def sgns_step_device_sampled(
+def _sgns_step_body(
     params: SGNSParams,
     words: jnp.ndarray,      # [S, L] int32 word ids, -1 pad
     cum_len: jnp.ndarray,    # [S+1] int32 cumulative session lengths
@@ -211,6 +211,11 @@ def sgns_step_device_sampled(
     )
     n_valid = jnp.maximum(jnp.sum(valid), 1)
     return new, loss / n_valid.astype(jnp.float32)
+
+
+sgns_step_device_sampled = partial(
+    jax.jit, static_argnums=(6, 7, 8), donate_argnums=(0,)
+)(_sgns_step_body)
 
 
 def make_neg_cdf(counts: np.ndarray, ns_exponent: float = 0.75) -> np.ndarray:
@@ -314,6 +319,36 @@ class Word2Vec:
         )
 
 
+@partial(jax.jit, static_argnums=(6, 7, 8, 9), donate_argnums=(0,))
+def sgns_epoch_device(
+    params: SGNSParams,
+    words: jnp.ndarray,
+    cum_len: jnp.ndarray,
+    neg_cdf: jnp.ndarray,
+    keep_prob: jnp.ndarray,
+    lr: jnp.ndarray,
+    batch: int,
+    window: int,
+    n_negs: int,
+    n_steps: int,
+    key: jnp.ndarray,
+) -> Tuple[SGNSParams, jnp.ndarray]:
+    """n_steps SGNS updates in ONE dispatch (lax.fori_loop): host-device
+    round-trips per step dominate wall clock on tunneled/remote runtimes."""
+
+    def body(i, carry):
+        params, _ = carry
+        sub = jax.random.fold_in(key, i)
+        return _sgns_step_body(
+            params, words, cum_len, neg_cdf, keep_prob, lr,
+            batch, window, n_negs, sub,
+        )
+
+    return lax.fori_loop(
+        0, n_steps, body, (params, jnp.float32(0.0))
+    )
+
+
 def train_word2vec_device(
     ev: Events,
     cfg: Word2VecConfig,
@@ -384,13 +419,14 @@ def train_word2vec_device(
 
     loss = jnp.float32(0)
     for epoch in range(start_epoch, cfg.epochs):
-        for _ in range(steps_per_epoch):
-            key, sub = jax.random.split(key)
-            params, loss = sgns_step_device_sampled(
-                params, words_d, cum_d, neg_cdf, keep_prob_d,
-                jnp.float32(cfg.learning_rate),
-                cfg.batch_size, cfg.window, cfg.negatives, sub,
-            )
+        key, sub = jax.random.split(key)
+        # whole epoch in one dispatch: per-step host round-trips dominate
+        # on tunneled runtimes (measured ~80ms/step dispatch overhead)
+        params, loss = sgns_epoch_device(
+            params, words_d, cum_d, neg_cdf, keep_prob_d,
+            jnp.float32(cfg.learning_rate),
+            cfg.batch_size, cfg.window, cfg.negatives, steps_per_epoch, sub,
+        )
         log.info("w2v[device] %s epoch %d: %d steps, loss=%.4f",
                  cfg.name, epoch, steps_per_epoch, float(loss))
         if checkpoint_path is not None:

@@ -320,12 +320,6 @@ def _reduce_identity(dtype, red: str):
     return jnp.array(SENTINEL if red == "min" else NEG_SENTINEL, dtype)
 
 
-def _shift_right_by(x: jnp.ndarray, d: int, fill) -> jnp.ndarray:
-    return jnp.concatenate(
-        [jnp.full_like(x[..., :d], fill), x[..., :-d]], axis=-1
-    )
-
-
 def rowwise_groupby(
     key: jnp.ndarray,
     columns: dict,

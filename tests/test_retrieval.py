@@ -102,7 +102,7 @@ def result():
 
 
 def feat(b, name):
-    return b.feats[0, :, FEATURE_INDEX[name]]
+    return np.asarray(b.feats)[0, :, FEATURE_INDEX[name]]
 
 
 def test_candidate_union(result):

@@ -48,9 +48,11 @@ def main() -> int:
     sp = split_events(ev, test_days=7, seed=0)
     print(f"# data {time.time()-t0:.1f}s", file=sys.stderr)
 
-    # real co-visitation tables from the data (density matters for gathers)
+    # real co-visitation tables from the data (density matters for gathers);
+    # single bucket => one compiled counting program (remote compiles are
+    # minutes each on a cold cache)
     counter = CoVisCounter(
-        CoVisConfig(), capacity=1 << 20, pair_budget=1 << 20, bucket_lens=(16, 64)
+        CoVisConfig(), capacity=1 << 20, pair_budget=1 << 20, bucket_lens=(64,)
     )
     counter.update(sp.train)
     tables = counter.retrieval_tables(n_aids)
@@ -80,7 +82,7 @@ def main() -> int:
 
     # realistic length-bucketing: short sessions (the vast majority) run
     # through much smaller fan-out grids
-    packs = pack_sessions(sp.test, bucket_lens=(8, 32, 64))
+    packs = pack_sessions(sp.test, bucket_lens=(8, 64))
     jobs = []  # (padded microbatches, bucket length)
     for p in packs:
         mbs = list(iter_microbatches(p, batch_s))

@@ -100,7 +100,11 @@ def build_retrieval_tables(table: CountTable, n_aids: int, first_n: int) -> CoVi
     return CoVisTables(nbr, cnt_t, cpop_t, ppop_t, crel_t)
 
 
-@partial(jax.jit, static_argnums=(0,), donate_argnums=(1,))
+# NOTE: no donate_argnums — donated-buffer programs miss the persistent
+# compilation cache on this runtime (measured: identical program recompiled
+# 318s on rerun with donation, cached instantly without), and the copy it
+# would save is ~1ms of HBM traffic.
+@partial(jax.jit, static_argnums=(0,))
 def covis_update_step(
     plan: pairs_ops.CoVisPlan,
     tables: Tuple[CountTable, ...],

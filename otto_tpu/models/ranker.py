@@ -134,7 +134,7 @@ def _lambdarank_loss(
     return loss / n_pairs
 
 
-@partial(jax.jit, static_argnums=(4, 5, 6), donate_argnums=(0, 1))
+@partial(jax.jit, static_argnums=(4, 5, 6))
 def train_step(
     params: RankerParams,
     opt_state,

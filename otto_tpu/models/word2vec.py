@@ -95,7 +95,7 @@ def _sgns_loss(params: SGNSParams, center, pos, negs):
     return jnp.sum(loss)
 
 
-@partial(jax.jit, donate_argnums=(0,), static_argnums=(6,))
+@partial(jax.jit, static_argnums=(6,))
 def sgns_step(
     params: SGNSParams,
     center: jnp.ndarray,     # [B] int32
@@ -214,7 +214,7 @@ def _sgns_step_body(
 
 
 sgns_step_device_sampled = partial(
-    jax.jit, static_argnums=(6, 7, 8), donate_argnums=(0,)
+    jax.jit, static_argnums=(6, 7, 8)
 )(_sgns_step_body)
 
 
@@ -319,7 +319,10 @@ class Word2Vec:
         )
 
 
-@partial(jax.jit, static_argnums=(6, 7, 8, 9), donate_argnums=(0,))
+# no donate_argnums: donated-buffer programs miss the persistent compile
+# cache on this runtime (see engine/covis.py note); the epoch-boundary param
+# copy is trivial next to minutes of recompile.
+@partial(jax.jit, static_argnums=(6, 7, 8, 9))
 def sgns_epoch_device(
     params: SGNSParams,
     words: jnp.ndarray,

@@ -39,6 +39,20 @@ def cmd_synth(args) -> int:
     return 0
 
 
+def cmd_ingest(args) -> int:
+    """OTTO-format JSONL -> columnar parquet (C6; native C++ fast path)."""
+    from otto_tpu.data.jsonl import load_labels_jsonl, load_sessions_jsonl
+
+    ev = load_sessions_jsonl(args.sessions_jsonl)
+    ev.to_parquet(args.out_prefix + "-events.parquet")
+    log.info("ingested %d events from %s", len(ev), args.sessions_jsonl)
+    if args.labels_jsonl:
+        lab = load_labels_jsonl(args.labels_jsonl)
+        lab.to_parquet(args.out_prefix + "-labels.parquet")
+        log.info("ingested %d labels from %s", len(lab), args.labels_jsonl)
+    return 0
+
+
 def cmd_split(args) -> int:
     """Carve the last-N-days local test split with labels (C5)."""
     ev = Events.from_parquet(args.events)
@@ -124,6 +138,12 @@ def main(argv=None) -> int:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", required=True)
     p.set_defaults(fn=cmd_synth)
+
+    p = sub.add_parser("ingest", help=cmd_ingest.__doc__)
+    p.add_argument("--sessions-jsonl", required=True)
+    p.add_argument("--labels-jsonl")
+    p.add_argument("--out-prefix", required=True)
+    p.set_defaults(fn=cmd_ingest)
 
     p = sub.add_parser("split", help=cmd_split.__doc__)
     p.add_argument("--events", required=True)

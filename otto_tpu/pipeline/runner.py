@@ -271,6 +271,11 @@ class Pipeline:
             metrics.update(res)
             with open(self._p("eval_submission.json"), "w") as fh:
                 json.dump(res, fh, indent=2)
+            # timestamped + git-hashed report copy (reference: utils.py:56-74)
+            from otto_tpu.utils.reports import report_name
+
+            with open(self._p(report_name("eval-submission") + ".json"), "w") as fh:
+                json.dump(res, fh, indent=2)
             self._log("eval", t0, json.dumps(res))
 
             # cross-check via independent re-parse of the written CSV (the

@@ -79,7 +79,16 @@ def merge_into_impl(
     k2 = jnp.concatenate([table.aid_next, jnp.where(valid, aid_next, SENTINEL)])
     v = jnp.concatenate([table.count, jnp.where(valid, count, 0)])
     uk1, uk2, uv, n_unique = seg.sort_compress(k1, k2, v)
-    a, b, c = _keep_topk_by_count(uk1, uk2, uv, C)
+
+    # overflow truncation costs two extra full sorts; skip it when the
+    # merged uniques fit (the common case — uniques sit sorted at the front)
+    def trunc(_):
+        return _keep_topk_by_count(uk1, uk2, uv, C)
+
+    def no_trunc(_):
+        return uk1[:C], uk2[:C], uv[:C]
+
+    a, b, c = lax.cond(n_unique > C, trunc, no_trunc, None)
     n = jnp.minimum(n_unique, C)
     return CountTable(a, b, c, n)
 

@@ -217,6 +217,33 @@ class RankerConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class GBDTConfig:
+    """Histogram-GBDT lambdarank (models/gbdt.py) hyperparameters mirroring
+    the reference's PARAMS_LGBM semantics (reference: config.py:207-221):
+    150 trees, depth 4, lr 0.25, colsample 0.25, subsample 0.5,
+    min_child_samples 20, ndcg@20."""
+
+    n_trees: int = 150
+    max_depth: int = 4
+    n_bins: int = 64
+    learning_rate: float = 0.25
+    colsample: float = 0.25          # feature fraction per tree
+    subsample: float = 0.5           # row (bagging) fraction per tree
+    min_child_samples: int = 20
+    min_child_hessian: float = 1e-3
+    lambda_l2: float = 0.0
+    sigma: float = 1.0               # lambdarank logistic scale
+    ndcg_at: int = 20                # truncation for |dNDCG| pair weights
+    lambda_norm: bool = True         # LightGBM per-query lambda normalization
+    max_group: int = 128             # padded candidates per session group
+    seed: int = 42
+
+    # device-shape knobs (tune for HBM, not quality)
+    row_chunk: int = 1 << 14         # rows per histogram matmul chunk
+    group_chunk: int = 1 << 10       # groups per pairwise-lambda chunk
+
+
+@dataclasses.dataclass(frozen=True)
 class DataConfig:
     """Dataset / split parameters (reference: etl/split_to_train_test.sh,
     etl/jsonl_to_parquet.py)."""
@@ -251,6 +278,10 @@ class Config:
     kmeans: KMeansConfig = dataclasses.field(default_factory=KMeansConfig)
     popularity: PopularityConfig = dataclasses.field(default_factory=PopularityConfig)
     ranker: RankerConfig = dataclasses.field(default_factory=RankerConfig)
+    gbdt: GBDTConfig = dataclasses.field(default_factory=GBDTConfig)
+    # which C16 model class scores candidates: "gbdt" (LightGBM-parity
+    # histogram trees) or "mlp" (LambdaRank tower)
+    ranker_backend: str = "gbdt"
     data: DataConfig = dataclasses.field(default_factory=DataConfig)
     mesh: MeshConfig = dataclasses.field(default_factory=MeshConfig)
 

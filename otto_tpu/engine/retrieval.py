@@ -31,6 +31,7 @@ internally consistent for our ranker.
 from __future__ import annotations
 
 import dataclasses
+import logging
 from functools import partial
 from typing import Dict, List, NamedTuple, Optional, Tuple
 
@@ -43,6 +44,8 @@ from otto_tpu.data.batching import PaddedSessions, iter_microbatches, pack_sessi
 from otto_tpu.data.schema import Events, Labels
 from otto_tpu.engine.covis import CoVisTables
 from otto_tpu.engine.popularity import PopularityTables
+
+log = logging.getLogger(__name__)
 from otto_tpu.engine.session_embed import KnnTables
 from otto_tpu.engine.session_stats import (
     SessionAids,
@@ -699,7 +702,15 @@ class Retriever:
         D = self.ctx.aid_emb.shape[1]
         out: List[RetrievedBatch] = []
         for p in pack_sessions(test, self.cfg.session_len_buckets):
-            for mb in iter_microbatches(p, min(batch_sessions, max(1, p.n_sessions))):
+            log.debug(
+                "retrieve bucket L=%d: %d sessions", p.aid.shape[1], p.n_sessions
+            )
+            # batch size: next power of two >= bucket population, capped at
+            # batch_sessions — keeps the compiled-shape set canonical
+            # (powers of two only; odd tail shapes also faulted the axon
+            # runtime's compiled programs)
+            size = min(batch_sessions, 1 << max(3, p.n_sessions - 1).bit_length())
+            for mb in iter_microbatches(p, size):
                 cluster = np.array(
                     [self.session_cluster.get(int(s), 0) for s in mb.session],
                     np.int32,

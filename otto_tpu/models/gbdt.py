@@ -1,0 +1,433 @@
+"""Histogram gradient-boosted decision trees with LambdaRank, TPU-native.
+
+Model-class parity with the reference ranker: LightGBM `lambdarank` GBDT,
+150 trees / depth 4 / lr 0.25 / colsample 0.25 / subsample 0.5 /
+min_child_samples 20, ndcg@20 (reference: config.py:207-227,
+model/train_lgbm_rankers.py:110-129). LightGBM grows trees on CPU with
+per-feature histogram scans; that translation would be scalar poison on TPU,
+so this is a redesign around the MXU:
+
+  * features are quantile-binned to uint8 once (host), then live on device;
+  * per-level histograms H[f, b, node, {grad,hess,count}] are built as a
+    ONE-HOT x MATMUL contraction `einsum('cfb,cd->fbd')` over row chunks —
+    histogramming becomes dense bf16 matmul work instead of scatter-adds
+    (TPU scatters measured ~1000x slower than gathers, see ops/segment.py);
+  * trees are complete depth-D binary trees built level-wise ("no-op" splits
+    send every row left, so control flow stays static);
+  * the ENTIRE boosting loop (lambda grads -> 4 level builds -> leaf values
+    -> score update, x n_trees) is one `lax.scan` dispatch — zero host
+    round-trips during training (tunneled runtimes pay ~80ms/dispatch);
+  * LambdaRank gradients/hessians are exact pairwise |dNDCG@k|-weighted
+    logistic lambdas over padded session groups, with LightGBM's per-query
+    lambda normalization (log2(1+sum|lambda|)/sum|lambda|).
+
+Trees are stored as dense arrays (feat [T, D, W], threshold-bin [T, D, W],
+leaf [T, 2^D]); prediction is a `lax.scan` over trees with 4 gathers per
+tree per row.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from otto_tpu.config import GBDTConfig
+from otto_tpu.models.ranker import _group_pad, ndcg_at_k
+
+__all__ = ["GBDTConfig", "GBDTRanker", "train_gbdt_ranker"]
+
+
+# ---------------------------------------------------------------------------
+# host-side quantile binning
+# ---------------------------------------------------------------------------
+
+def compute_bin_edges(
+    feats: np.ndarray, n_bins: int, sample: int = 1 << 20, seed: int = 0
+) -> np.ndarray:
+    """[N, F] float -> [F, n_bins-1] ascending bin edges (quantiles).
+
+    bin(x) = #edges <= x, so edges must be strictly increasing; duplicate
+    quantiles (constant-ish features) are collapsed by padding with +inf
+    (rows then land in low bins, never splitting on the degenerate range).
+    """
+    n, f = feats.shape
+    if n > sample:
+        idx = np.random.default_rng(seed).choice(n, sample, replace=False)
+        feats = feats[idx]
+    qs = np.linspace(0.0, 1.0, n_bins + 1)[1:-1]
+    edges = np.quantile(feats, qs, axis=0).T.astype(np.float32)  # [F, B-1]
+    out = np.full_like(edges, np.inf)
+    for j in range(f):
+        u = np.unique(edges[j])
+        u = u[np.isfinite(u)]
+        out[j, : len(u)] = u
+    return out
+
+
+def bin_features(feats: np.ndarray, edges: np.ndarray, chunk: int = 1 << 16) -> np.ndarray:
+    """[N, F] float, [F, B-1] edges -> [N, F] uint8 bin ids (edge <= x count)."""
+    n = feats.shape[0]
+    out = np.empty(feats.shape, np.uint8)
+    for i in range(0, n, chunk):
+        x = feats[i : i + chunk]
+        out[i : i + chunk] = (x[:, :, None] >= edges[None, :, :]).sum(-1)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# lambdarank gradients (device)
+# ---------------------------------------------------------------------------
+
+def _lambda_grads_chunk(scores, labels, mask, maxdcg, sigma, k, norm):
+    """scores/labels/mask [C, G], maxdcg [C] -> grad, hess [C, G]."""
+    G = scores.shape[1]
+    s = jnp.where(mask, scores, -jnp.inf)
+    order = jnp.argsort(-s, axis=1)
+    rank = jnp.zeros_like(order).at[
+        jnp.arange(s.shape[0])[:, None], order
+    ].set(jnp.arange(G)[None, :])
+    disc = jnp.where(rank < k, 1.0 / jnp.log2(2.0 + rank.astype(jnp.float32)), 0.0)
+    delta = jnp.abs(disc[:, :, None] - disc[:, None, :]) / jnp.maximum(
+        maxdcg, 1e-9
+    )[:, None, None]
+
+    y = jnp.where(mask, labels, 0.0)
+    win = (y[:, :, None] > y[:, None, :]) & mask[:, :, None] & mask[:, None, :]
+    sd = scores[:, :, None] - scores[:, None, :]
+    rho = jax.nn.sigmoid(-sigma * sd)               # [C, G, G]
+    lam = jnp.where(win, sigma * rho * delta, 0.0)
+    hes = jnp.where(win, sigma * sigma * rho * (1.0 - rho) * delta, 0.0)
+
+    grad = -lam.sum(2) + lam.sum(1)                 # winners pushed up
+    hess = hes.sum(2) + hes.sum(1)
+
+    if norm:
+        sum_l = jnp.abs(lam).sum(axis=(1, 2))       # per-query |lambda| mass
+        scale = jnp.where(
+            sum_l > 0, jnp.log2(1.0 + sum_l) / jnp.maximum(sum_l, 1e-12), 0.0
+        )[:, None]
+        grad = grad * scale
+        hess = hess * scale
+    return grad, hess
+
+
+def _max_dcg(labels: jnp.ndarray, mask: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Ideal DCG@k per group, [NG, G] -> [NG]."""
+    G = labels.shape[1]
+    n_pos = jnp.sum(labels * mask, axis=1)
+    pos = jnp.arange(G, dtype=jnp.float32)[None, :]
+    disc = jnp.where(
+        pos < jnp.minimum(n_pos, float(k))[:, None], 1.0 / jnp.log2(2.0 + pos), 0.0
+    )
+    return disc.sum(1)
+
+
+# ---------------------------------------------------------------------------
+# tree building (device, inside the boosting scan)
+# ---------------------------------------------------------------------------
+
+def _histograms(bins_sub, ghc, n_bins, row_chunk):
+    """bins_sub [N, Fs] int32, ghc [N, D] f32 -> [Fs, n_bins, D] f32.
+
+    One-hot x matmul over row chunks: the MXU does the binning reduction.
+    Rows are zero-padded to a row_chunk multiple (pad rows carry zero ghc).
+    """
+    n, fs = bins_sub.shape
+    d = ghc.shape[1]
+    pad = (-n) % row_chunk
+    if pad:
+        bins_sub = jnp.pad(bins_sub, ((0, pad), (0, 0)))
+        ghc = jnp.pad(ghc, ((0, pad), (0, 0)))
+    n_chunks = (n + pad) // row_chunk
+    bins_c = bins_sub.reshape(n_chunks, row_chunk, fs)
+    ghc_c = ghc.reshape(n_chunks, row_chunk, d)
+
+    def body(acc, xs):
+        bc, gc = xs
+        onehot = (
+            bc.astype(jnp.int32)[:, :, None] == jnp.arange(n_bins)[None, None, :]
+        ).astype(jnp.bfloat16)
+        acc = acc + jnp.einsum(
+            "cfb,cd->fbd", onehot, gc.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+        return acc, None
+
+    acc0 = jnp.zeros((fs, n_bins, d), jnp.float32)
+    acc, _ = jax.lax.scan(body, acc0, (bins_c, ghc_c))
+    return acc
+
+
+def _build_tree(bins_sub, grad, hess, cnt, cfg: GBDTConfig):
+    """One complete depth-D tree, level-wise.
+
+    bins_sub [N, Fs] int32 (feature-subsampled), grad/hess/cnt [N] f32
+    (cnt is 0 for padded/bagged-out rows). Returns (feat_local [D, W],
+    thr [D, W], leaf [2^D], node [N]) where W = 2^(D-1) max nodes/level
+    and thr == n_bins means "no-op split, all rows left".
+    """
+    depth, n_bins = cfg.max_depth, cfg.n_bins
+    W = 1 << (depth - 1)
+    n_leaves = 1 << depth
+    N = bins_sub.shape[0]
+    node = jnp.zeros(N, jnp.int32)
+    feat_arr = jnp.zeros((depth, W), jnp.int32)
+    thr_arr = jnp.full((depth, W), n_bins, jnp.int32)
+
+    for level in range(depth):
+        n_nodes = 1 << level
+        node_onehot = (node[:, None] == jnp.arange(W)[None, :]).astype(jnp.float32)
+        ghc = (
+            node_onehot[:, :, None]
+            * jnp.stack([grad, hess, cnt], axis=-1)[:, None, :]
+        ).reshape(N, W * 3)
+        H = _histograms(bins_sub, ghc, n_bins, cfg.row_chunk)  # [Fs, B, W*3]
+        H = H.reshape(-1, n_bins, W, 3)
+
+        cum = jnp.cumsum(H, axis=1)                    # left stats for thr=b+1
+        tot = cum[:, -1:, :, :]
+        gl, hl, cl = cum[..., 0], cum[..., 1], cum[..., 2]
+        gt, ht, ct = tot[..., 0], tot[..., 1], tot[..., 2]
+        gr, hr, cr = gt - gl, ht - hl, ct - cl
+        l2 = cfg.lambda_l2
+        gain = (
+            gl * gl / (hl + l2 + 1e-9)
+            + gr * gr / (hr + l2 + 1e-9)
+            - gt * gt / (ht + l2 + 1e-9)
+        )
+        ok = (
+            (cl >= cfg.min_child_samples)
+            & (cr >= cfg.min_child_samples)
+            & (hl >= cfg.min_child_hessian)
+            & (hr >= cfg.min_child_hessian)
+        )
+        gain = jnp.where(ok, gain, -jnp.inf)           # [Fs, B, W]
+        flat = gain.reshape(-1, W)                     # [(Fs*B), W]
+        best = jnp.argmax(flat, axis=0)                # [W]
+        best_gain = jnp.take_along_axis(flat, best[None, :], axis=0)[0]
+        bf = best // n_bins                            # feature (local)
+        bb = best % n_bins                             # last-left bin
+        do_split = (best_gain > 1e-12) & (jnp.arange(W) < n_nodes)
+        thr = jnp.where(do_split, bb + 1, n_bins)      # go right iff bin >= thr
+        bf = jnp.where(do_split, bf, 0)
+        feat_arr = feat_arr.at[level].set(bf)
+        thr_arr = thr_arr.at[level].set(thr)
+
+        row_bin = jnp.take_along_axis(bins_sub, bf[node][:, None], axis=1)[
+            :, 0
+        ].astype(jnp.int32)
+        node = node * 2 + (row_bin >= thr[node]).astype(jnp.int32)
+
+    leaf_onehot = (node[:, None] == jnp.arange(n_leaves)[None, :]).astype(
+        jnp.bfloat16
+    )
+    gh = jnp.stack([grad, hess, cnt], axis=-1).astype(jnp.bfloat16)  # [N, 3]
+    sums = jnp.einsum(
+        "nl,nc->lc", leaf_onehot, gh, preferred_element_type=jnp.float32
+    )
+    leaf = jnp.where(
+        sums[:, 2] > 0,
+        -sums[:, 0] / (sums[:, 1] + cfg.lambda_l2 + 1e-9) * cfg.learning_rate,
+        0.0,
+    )
+    return feat_arr, thr_arr, leaf, node
+
+
+# ---------------------------------------------------------------------------
+# the fused boosting loop
+# ---------------------------------------------------------------------------
+
+def _pad_axis0(x: np.ndarray, mult: int, fill=0) -> np.ndarray:
+    n = x.shape[0]
+    pad = (-n) % mult
+    if pad == 0:
+        return x
+    return np.concatenate([x, np.full((pad, *x.shape[1:]), fill, x.dtype)])
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _train_program(bins, labels_g, mask_g, cfg: GBDTConfig):
+    """bins [NG*G, F] uint8 (grouped-flat: row g*G+j <-> group g slot j),
+    labels_g/mask_g [NG, G]. Returns stacked trees + final scores."""
+    NG, G = labels_g.shape
+    N, F = bins.shape
+    Fs = max(1, int(round(cfg.colsample * F)))
+    maxdcg = _max_dcg(labels_g, mask_g, cfg.ndcg_at)
+    n_gchunks = NG // cfg.group_chunk
+    key0 = jax.random.PRNGKey(cfg.seed)
+
+    def grads_for(scores_g):
+        sc = scores_g.reshape(n_gchunks, cfg.group_chunk, G)
+        lc = labels_g.reshape(n_gchunks, cfg.group_chunk, G)
+        mc = mask_g.reshape(n_gchunks, cfg.group_chunk, G)
+        dc = maxdcg.reshape(n_gchunks, cfg.group_chunk)
+
+        def body(_, xs):
+            s, l, m, d = xs
+            return None, _lambda_grads_chunk(
+                s, l, m, d, cfg.sigma, cfg.ndcg_at, cfg.lambda_norm
+            )
+
+        _, (g, h) = jax.lax.scan(body, None, (sc, lc, mc, dc))
+        return g.reshape(NG * G), h.reshape(NG * G)
+
+    def boost_step(scores, t):
+        key = jax.random.fold_in(key0, t)
+        k_feat, k_bag = jax.random.split(key)
+        feat_idx = jax.random.permutation(k_feat, F)[:Fs]          # [Fs]
+        bag = (
+            jax.random.uniform(k_bag, (NG * G,)) < cfg.subsample
+        ).astype(jnp.float32)
+
+        grad, hess = grads_for(scores.reshape(NG, G))
+        cnt = mask_g.reshape(NG * G).astype(jnp.float32) * bag
+        grad, hess = grad * bag, hess * bag
+        bins_sub = jnp.take(bins, feat_idx, axis=1)                # [N, Fs]
+        feat_l, thr, leaf, node = _build_tree(bins_sub, grad, hess, cnt, cfg)
+        scores = scores + leaf[node]
+        gfeat = feat_idx[feat_l]                                   # global ids
+        return scores, (gfeat, thr, leaf)
+
+    scores0 = jnp.zeros(N, jnp.float32)
+    scores, (gfeat, thr, leaf) = jax.lax.scan(
+        boost_step, scores0, jnp.arange(cfg.n_trees)
+    )
+    return gfeat, thr, leaf, scores
+
+
+@partial(jax.jit, static_argnames=("n_bins",))
+def _predict_program(bins, gfeat, thr, leaf, n_bins: int):
+    """bins [M, F] uint8; trees gfeat/thr [T, D, W], leaf [T, 2^D] -> [M]."""
+    bins = bins.astype(jnp.int32)
+    M = bins.shape[0]
+    depth = gfeat.shape[1]
+
+    def per_tree(scores, tree):
+        tf, tt, tl = tree
+        node = jnp.zeros(M, jnp.int32)
+        for level in range(depth):
+            f = tf[level][node]
+            t = tt[level][node]
+            b = jnp.take_along_axis(bins, f[:, None], axis=1)[:, 0]
+            node = node * 2 + (b >= t).astype(jnp.int32)
+        return scores + tl[node], None
+
+    scores, _ = jax.lax.scan(per_tree, jnp.zeros(M, jnp.float32), (gfeat, thr, leaf))
+    return scores
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class GBDTRanker:
+    """Trained GBDT lambdarank model (LightGBM booster analogue, C16/C17)."""
+
+    cfg: GBDTConfig
+    edges: np.ndarray        # [F, B-1] bin edges
+    gfeat: np.ndarray        # [T, D, W] split feature (global id)
+    thr: np.ndarray          # [T, D, W] split bin threshold (n_bins = no-op)
+    leaf: np.ndarray         # [T, 2^D] leaf values
+    feature_names: Tuple[str, ...]
+
+    def predict(self, feats: np.ndarray, batch: int = 1 << 16) -> np.ndarray:
+        out = np.empty(feats.shape[0], np.float32)
+        tf, tt, tl = (
+            jnp.asarray(self.gfeat),
+            jnp.asarray(self.thr),
+            jnp.asarray(self.leaf),
+        )
+        for i in range(0, feats.shape[0], batch):
+            b = bin_features(np.asarray(feats[i : i + batch], np.float32), self.edges)
+            out[i : i + batch] = np.asarray(
+                _predict_program(jnp.asarray(b), tf, tt, tl, self.cfg.n_bins)
+            )
+        return out
+
+    def feature_importance(self) -> np.ndarray:
+        """Split-count importance per feature (the reference reports gain
+        importance, model/train_lgbm_rankers.py:132-144; split counts are the
+        cheap dense analogue)."""
+        used = self.thr < self.cfg.n_bins
+        n_feats = len(self.feature_names)
+        return np.bincount(
+            self.gfeat[used].reshape(-1), minlength=n_feats
+        ).astype(np.int64)
+
+    def save(self, path: str) -> None:
+        np.savez_compressed(
+            path,
+            edges=self.edges,
+            gfeat=self.gfeat,
+            thr=self.thr,
+            leaf=self.leaf,
+            feature_names=np.array(self.feature_names),
+            cfg=np.frombuffer(
+                repr(dataclasses.asdict(self.cfg)).encode(), dtype=np.uint8
+            ),
+        )
+
+    @staticmethod
+    def load(path: str) -> "GBDTRanker":
+        z = np.load(path, allow_pickle=False)
+        import ast
+
+        cfg = GBDTConfig(**ast.literal_eval(bytes(z["cfg"].tobytes()).decode()))
+        return GBDTRanker(
+            cfg=cfg,
+            edges=z["edges"],
+            gfeat=z["gfeat"],
+            thr=z["thr"],
+            leaf=z["leaf"],
+            feature_names=tuple(z["feature_names"].tolist()),
+        )
+
+
+def train_gbdt_ranker(
+    feats: np.ndarray,           # [N, F] flat candidate rows
+    labels: np.ndarray,          # [N] 0/1 target for ONE type
+    group_sessions: np.ndarray,  # [N] session id per row
+    feature_names: Tuple[str, ...],
+    cfg: GBDTConfig = GBDTConfig(),
+    valid: Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]] = None,
+) -> GBDTRanker:
+    """Bin features, group rows by session, run the fused boosting program."""
+    import logging
+
+    log = logging.getLogger(__name__)
+    edges = compute_bin_edges(feats, cfg.n_bins, seed=cfg.seed)
+    fg, lg, mg = _group_pad(feats, labels, group_sessions, cfg.max_group)
+    NG, G, F = fg.shape
+    # grouped-flat rows; pad group count so the lambda chunk loop tiles exactly
+    ng_mult = cfg.group_chunk
+    fg = _pad_axis0(fg, ng_mult)
+    lg = _pad_axis0(lg, ng_mult)
+    mg = _pad_axis0(mg, ng_mult)
+    bins = bin_features(fg.reshape(-1, F), edges)
+
+    gfeat, thr, leaf, _ = _train_program(
+        jnp.asarray(bins), jnp.asarray(lg), jnp.asarray(mg), cfg
+    )
+    model = GBDTRanker(
+        cfg=cfg,
+        edges=edges,
+        gfeat=np.asarray(gfeat),
+        thr=np.asarray(thr),
+        leaf=np.asarray(leaf),
+        feature_names=tuple(feature_names),
+    )
+    if valid is not None:
+        vf, vl, vs = valid
+        vfg, vlg, vmg = _group_pad(vf, vl, vs, cfg.max_group)
+        vscores = model.predict(vfg.reshape(-1, F)).reshape(vfg.shape[:2])
+        log.info(
+            "gbdt valid ndcg@%d=%.5f",
+            cfg.ndcg_at,
+            ndcg_at_k(vscores, vlg, vmg, cfg.ndcg_at),
+        )
+    return model

@@ -165,6 +165,7 @@ def ndcg_at_k(
     eval metric, reference: config.py:210 'ndcg', PARAMS_LGBM_FIT eval_at)."""
     s = np.where(mask, scores, -np.inf)
     y = np.where(mask, labels, 0.0)
+    k = min(k, s.shape[1])
     order = np.argsort(-s, axis=1)[:, :k]
     top_y = np.take_along_axis(y, order, axis=1)
     disc = 1.0 / np.log2(2.0 + np.arange(k))

@@ -88,7 +88,7 @@ def _tiny_config() -> Config:
     import dataclasses
 
     from otto_tpu.config import (
-        CoVisConfig, KMeansConfig, RankerConfig, RetrievalConfig,
+        CoVisConfig, GBDTConfig, KMeansConfig, RankerConfig, RetrievalConfig,
         Word2VecConfig,
     )
 
@@ -112,6 +112,9 @@ def _tiny_config() -> Config:
         ranker=RankerConfig(hidden_dims=(32, 16), epochs=3,
                             batch_sessions=64, max_group=64,
                             learning_rate=3e-3),
+        gbdt=GBDTConfig(n_trees=20, max_depth=3, n_bins=16, colsample=0.5,
+                        subsample=0.8, min_child_samples=5, max_group=64,
+                        row_chunk=4096, group_chunk=256),
     )
 
 

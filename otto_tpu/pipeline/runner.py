@@ -84,6 +84,23 @@ class Pipeline:
     ) -> Dict[str, float]:
         """Run the full offline pipeline; returns eval metrics (empty dict
         when labels are absent)."""
+        batches, targets, metrics = self.retrieve_with_features(
+            train, test, labels, batch_sessions=batch_sessions
+        )
+        if labels is not None:
+            self.rank_and_eval(batches, targets, labels, metrics)
+        return metrics
+
+    def retrieve_with_features(
+        self,
+        train: Events,
+        test: Events,
+        labels: Optional[Labels] = None,
+        batch_sessions: int = 256,
+    ):
+        """Stages C7-C14: stats/embeddings/clusters/popularity -> fused
+        retrieval + features -> retrieval-ceiling eval. Returns
+        (batches, targets, metrics); targets is None without labels."""
         t0 = time.time()
         cfg = self.cfg
         full = train.concat(test)
@@ -232,62 +249,90 @@ class Pipeline:
                 json.dump(per_src, fh, indent=2)
             log.info("per-source recall:\n%s", format_report(per_src))
 
+        return batches, targets, metrics
+
+    def rank_and_eval(
+        self,
+        batches,
+        targets,
+        labels: Labels,
+        metrics: Optional[Dict[str, float]] = None,
+    ) -> Dict[str, float]:
+        """Stages C15-C19: downsample -> train rankers -> score/top-20 ->
+        submission -> recall eval. Mutates and returns `metrics`."""
+        t0 = time.time()
+        cfg = self.cfg
+        if metrics is None:
+            metrics = {}
+
         # ---- C15/C16 downsample + train rankers --------------------------
-        rankers: Dict[str, Ranker] = {}
-        if labels is not None:
-            for tname in TYPES:
-                rpath = self._p(f"ranker-{tname}.npz")
-                if self._cached(f"ranker-{tname}.npz"):
-                    rankers[tname] = Ranker.load(rpath, cfg.ranker)
-                    continue
-                feats, y, sess = rank_engine.downsample(
-                    batches, targets, TYPE2ID[tname], cfg.ranker
+        from otto_tpu.models.gbdt import GBDTRanker, train_gbdt_ranker
+
+        backend = cfg.ranker_backend
+        rankers: Dict[str, object] = {}
+        for tname in TYPES:
+            rname = f"ranker-{backend}-{tname}.npz"
+            rpath = self._p(rname)
+            if self._cached(rname):
+                rankers[tname] = (
+                    GBDTRanker.load(rpath)
+                    if backend == "gbdt"
+                    else Ranker.load(rpath, cfg.ranker)
                 )
-                # session-level 75/25 train/valid split for ndcg reporting
-                # (reference: model/train_lgbm_rankers.py:184-204 file split)
-                u_sess = np.unique(sess)
-                n_train = max(1, int(len(u_sess) * 0.75))
-                valid_set = None
-                if len(u_sess) - n_train >= 8:
-                    vmask = np.isin(sess, u_sess[n_train:])
-                    valid_set = (feats[vmask], y[vmask], sess[vmask])
-                    feats, y, sess = feats[~vmask], y[~vmask], sess[~vmask]
+                continue
+            feats, y, sess = rank_engine.downsample(
+                batches, targets, TYPE2ID[tname], cfg.ranker
+            )
+            # session-level 75/25 train/valid split for ndcg reporting
+            # (reference: model/train_lgbm_rankers.py:184-204 file split)
+            u_sess = np.unique(sess)
+            n_train = max(1, int(len(u_sess) * 0.75))
+            valid_set = None
+            if len(u_sess) - n_train >= 8:
+                vmask = np.isin(sess, u_sess[n_train:])
+                valid_set = (feats[vmask], y[vmask], sess[vmask])
+                feats, y, sess = feats[~vmask], y[~vmask], sess[~vmask]
+            if backend == "gbdt":
+                rankers[tname] = train_gbdt_ranker(
+                    feats, y, sess, FEATURE_NAMES, cfg.gbdt, valid=valid_set
+                )
+            else:
                 rankers[tname] = train_ranker(
                     feats, y, sess, FEATURE_NAMES, cfg.ranker, valid=valid_set
                 )
-                rankers[tname].save(rpath)
-                self._log(f"ranker {tname}", t0, f"{len(y)} rows")
+            rankers[tname].save(rpath)
+            self._log(f"ranker {tname} ({backend})", t0, f"{len(y)} rows")
 
-            # ---- C17/C18 rank + submit -----------------------------------
-            preds = {}
-            for tname in TYPES:
-                s, a, _ = rank_engine.score_and_topk(batches, rankers[tname])
-                preds[tname] = (s, a)
-            rank_engine.write_submission(self._p("submission.csv"), preds)
-            self._log("submit", t0)
+        # ---- C17/C18 rank + submit -----------------------------------
+        preds = {}
+        for tname in TYPES:
+            s, a, _ = rank_engine.score_and_topk(batches, rankers[tname])
+            preds[tname] = (s, a)
+        rank_engine.write_submission(self._p("submission.csv"), preds)
+        self._log("submit", t0)
 
-            # ---- C19 eval -------------------------------------------------
-            res = evaluate_topk(preds, labels)
-            metrics.update(res)
-            with open(self._p("eval_submission.json"), "w") as fh:
-                json.dump(res, fh, indent=2)
-            # timestamped + git-hashed report copy (reference: utils.py:56-74)
-            from otto_tpu.utils.reports import report_name
+        # ---- C19 eval -------------------------------------------------
+        res = evaluate_topk(preds, labels)
+        metrics.update(res)
+        with open(self._p("eval_submission.json"), "w") as fh:
+            json.dump(res, fh, indent=2)
+        # timestamped + git-hashed report copy (reference: utils.py:56-74)
+        from otto_tpu.utils.reports import report_name
 
-            with open(self._p(report_name("eval-submission") + ".json"), "w") as fh:
-                json.dump(res, fh, indent=2)
-            self._log("eval", t0, json.dumps(res))
+        with open(self._p(report_name("eval-submission") + ".json"), "w") as fh:
+            json.dump(res, fh, indent=2)
+        self._log("eval", t0, json.dumps(res))
 
-            # cross-check via independent re-parse of the written CSV (the
-            # organizer-scorer role, reference: model/eval_submission_otto.sh)
-            from otto_tpu.eval.recall import evaluate_submission_file
+        # cross-check via independent re-parse of the written CSV (the
+        # organizer-scorer role, reference: model/eval_submission_otto.sh)
+        from otto_tpu.eval.recall import evaluate_submission_file
 
-            res2 = evaluate_submission_file(self._p("submission.csv"), labels)
-            if abs(res2["total"] - res["total"]) > 1e-9:
-                log.warning(
-                    "submission re-parse mismatch: %.6f vs %.6f",
-                    res2["total"], res["total"],
-                )
+        res2 = evaluate_submission_file(self._p("submission.csv"), labels)
+        if abs(res2["total"] - res["total"]) > 1e-9:
+            log.warning(
+                "submission re-parse mismatch: %.6f vs %.6f",
+                res2["total"], res["total"],
+            )
 
         return metrics
 

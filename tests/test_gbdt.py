@@ -1,0 +1,108 @@
+"""GBDT lambdarank (models/gbdt.py) against NumPy oracles + learning checks."""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from otto_tpu.models.gbdt import (
+    GBDTConfig,
+    GBDTRanker,
+    _histograms,
+    _lambda_grads_chunk,
+    _max_dcg,
+    bin_features,
+    compute_bin_edges,
+    train_gbdt_ranker,
+)
+from otto_tpu.models.ranker import ndcg_at_k
+
+
+def test_binning_roundtrip():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(5000, 6)).astype(np.float32)
+    x[:, 3] = 7.0  # constant feature
+    edges = compute_bin_edges(x, n_bins=16)
+    b = bin_features(x, edges)
+    assert b.dtype == np.uint8
+    assert b.max() < 16
+    # monotone: larger value -> bin id never decreases
+    order = np.argsort(x[:, 0])
+    assert (np.diff(b[order, 0].astype(int)) >= 0).all()
+    # constant feature lands in a single bin
+    assert len(np.unique(b[:, 3])) == 1
+
+
+def test_histogram_matches_bincount_oracle():
+    rng = np.random.default_rng(1)
+    n, f, bins, d = 1000, 5, 8, 6
+    bn = rng.integers(0, bins, size=(n, f)).astype(np.uint8)
+    ghc = rng.normal(size=(n, d)).astype(np.float32)
+    h = np.asarray(_histograms(jnp.asarray(bn), jnp.asarray(ghc), bins, 256))
+    for fi in range(f):
+        for di in range(d):
+            oracle = np.bincount(bn[:, fi], weights=ghc[:, di], minlength=bins)
+            # operands are bf16-quantized (f32 accumulate): |err| ~ 2^-9 *
+            # sqrt(n_per_bin) in units of the summand scale
+            np.testing.assert_allclose(h[fi, :, di], oracle, rtol=5e-2, atol=1e-1)
+
+
+def test_lambda_grads_push_positives_up():
+    # 2 groups, G=4: positives should get negative gradient (score increases
+    # via leaf = -G/H), zero-sum within each group
+    scores = jnp.zeros((2, 4))
+    labels = jnp.asarray([[1, 0, 0, 0], [0, 0, 1, 0]], jnp.float32)
+    mask = jnp.ones((2, 4), bool)
+    maxdcg = _max_dcg(labels, mask, 20)
+    g, h = _lambda_grads_chunk(scores, labels, mask, maxdcg, 1.0, 20, True)
+    g, h = np.asarray(g), np.asarray(h)
+    assert g[0, 0] < 0 and g[1, 2] < 0
+    assert (g[0, 1:] > 0).all()
+    np.testing.assert_allclose(g.sum(axis=1), 0.0, atol=1e-6)
+    assert (h >= 0).all()
+
+
+def _synthetic_ranking(n_groups=300, g=16, f=10, seed=0):
+    """Relevance depends on a nonlinear feature interaction."""
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=(n_groups * g, f)).astype(np.float32)
+    logits = (x[:, 0] > 0.3) * 2.0 + x[:, 1] * (x[:, 2] > 0) - 0.5 * x[:, 3]
+    sess = np.repeat(np.arange(n_groups), g).astype(np.int64)
+    y = np.zeros(n_groups * g, np.float32)
+    for s in range(n_groups):
+        rows = slice(s * g, (s + 1) * g)
+        top = np.argsort(-logits[rows])[:3]
+        yy = np.zeros(g, np.float32)
+        yy[top] = 1.0
+        y[rows] = yy
+    return x, y, sess
+
+
+def test_gbdt_learns_ranking_and_beats_random():
+    x, y, sess = _synthetic_ranking()
+    cfg = GBDTConfig(
+        n_trees=30, max_depth=3, n_bins=16, colsample=0.8, subsample=0.9,
+        min_child_samples=5, max_group=16, row_chunk=512, group_chunk=64,
+    )
+    model = train_gbdt_ranker(x, y, sess, tuple(f"f{i}" for i in range(10)), cfg)
+    scores = model.predict(x).reshape(-1, 16)
+    yg = y.reshape(-1, 16)
+    mask = np.ones_like(yg, bool)
+    nd = ndcg_at_k(scores, yg, mask, 20)
+    rng = np.random.default_rng(3)
+    nd_rand = ndcg_at_k(rng.normal(size=scores.shape), yg, mask, 20)
+    assert nd > 0.8, f"gbdt ndcg {nd} too low (random={nd_rand})"
+    assert nd > nd_rand + 0.3
+
+
+def test_gbdt_save_load_roundtrip(tmp_path):
+    x, y, sess = _synthetic_ranking(n_groups=50)
+    cfg = GBDTConfig(
+        n_trees=5, max_depth=3, n_bins=16, colsample=0.8, subsample=1.0,
+        min_child_samples=5, max_group=16, row_chunk=512, group_chunk=32,
+    )
+    model = train_gbdt_ranker(x, y, sess, tuple(f"f{i}" for i in range(10)), cfg)
+    p = str(tmp_path / "gbdt.npz")
+    model.save(p)
+    loaded = GBDTRanker.load(p)
+    np.testing.assert_allclose(model.predict(x[:100]), loaded.predict(x[:100]))
+    imp = model.feature_importance()
+    assert imp.shape == (10,) and imp.sum() > 0

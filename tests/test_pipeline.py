@@ -12,6 +12,7 @@ import pytest
 from otto_tpu.config import (
     Config,
     CoVisConfig,
+    GBDTConfig,
     KMeansConfig,
     RankerConfig,
     RetrievalConfig,
@@ -42,6 +43,9 @@ def tiny_cfg():
         kmeans=dataclasses.replace(KMeansConfig(), max_iter=10),
         ranker=RankerConfig(hidden_dims=(32, 16), epochs=3, batch_sessions=64,
                             max_group=64, learning_rate=3e-3),
+        gbdt=GBDTConfig(n_trees=20, max_depth=3, n_bins=16, colsample=0.5,
+                        subsample=0.8, min_child_samples=5, max_group=64,
+                        row_chunk=4096, group_chunk=256),
     )
 
 
@@ -58,8 +62,8 @@ def test_pipeline_produces_all_artifacts(pipeline_metrics):
     work, _ = pipeline_metrics
     for f in (
         "covis.pkl", "w2v-wall.npz", "w2v-w12.npz", "knn-wall.npz",
-        "session_emb.npz", "clusters.npz", "ranker-clicks.npz",
-        "ranker-carts.npz", "ranker-orders.npz", "submission.csv",
+        "session_emb.npz", "clusters.npz", "ranker-gbdt-clicks.npz",
+        "ranker-gbdt-carts.npz", "ranker-gbdt-orders.npz", "submission.csv",
         "eval_retrieved.json", "eval_submission.json",
     ):
         assert os.path.exists(os.path.join(work, f)), f

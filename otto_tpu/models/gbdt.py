@@ -130,7 +130,7 @@ def _max_dcg(labels: jnp.ndarray, mask: jnp.ndarray, k: int) -> jnp.ndarray:
 # tree building (device, inside the boosting scan)
 # ---------------------------------------------------------------------------
 
-def _histograms(bins_sub, ghc, n_bins, row_chunk):
+def _histograms(bins_sub, ghc, n_bins, row_chunk, axis_name=None):
     """bins_sub [N, Fs] int32, ghc [N, D] f32 -> [Fs, n_bins, D] f32.
 
     One-hot x matmul over row chunks: the MXU does the binning reduction.
@@ -159,10 +159,14 @@ def _histograms(bins_sub, ghc, n_bins, row_chunk):
 
     acc0 = jnp.zeros((fs, n_bins, d), jnp.float32)
     acc, _ = jax.lax.scan(body, acc0, (bins_c, ghc_c))
+    if axis_name is not None:
+        # data-parallel GBDT: rows are sharded, histograms are tiny — the
+        # all-reduce here is the only cross-device traffic per tree level
+        acc = jax.lax.psum(acc, axis_name)
     return acc
 
 
-def _build_tree(bins_sub, grad, hess, cnt, cfg: GBDTConfig):
+def _build_tree(bins_sub, grad, hess, cnt, cfg: GBDTConfig, axis_name=None):
     """One complete depth-D tree, level-wise.
 
     bins_sub [N, Fs] int32 (feature-subsampled), grad/hess/cnt [N] f32
@@ -185,7 +189,7 @@ def _build_tree(bins_sub, grad, hess, cnt, cfg: GBDTConfig):
             node_onehot[:, :, None]
             * jnp.stack([grad, hess, cnt], axis=-1)[:, None, :]
         ).reshape(N, W * 3)
-        H = _histograms(bins_sub, ghc, n_bins, cfg.row_chunk)  # [Fs, B, W*3]
+        H = _histograms(bins_sub, ghc, n_bins, cfg.row_chunk, axis_name)
         H = H.reshape(-1, n_bins, W, 3)
 
         cum = jnp.cumsum(H, axis=1)                    # left stats for thr=b+1
@@ -229,6 +233,8 @@ def _build_tree(bins_sub, grad, hess, cnt, cfg: GBDTConfig):
     sums = jnp.einsum(
         "nl,nc->lc", leaf_onehot, gh, preferred_element_type=jnp.float32
     )
+    if axis_name is not None:
+        sums = jax.lax.psum(sums, axis_name)
     leaf = jnp.where(
         sums[:, 2] > 0,
         -sums[:, 0] / (sums[:, 1] + cfg.lambda_l2 + 1e-9) * cfg.learning_rate,
@@ -249,10 +255,14 @@ def _pad_axis0(x: np.ndarray, mult: int, fill=0) -> np.ndarray:
     return np.concatenate([x, np.full((pad, *x.shape[1:]), fill, x.dtype)])
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def _train_program(bins, labels_g, mask_g, cfg: GBDTConfig):
+def _train_core(bins, labels_g, mask_g, cfg: GBDTConfig, axis_name=None):
     """bins [NG*G, F] uint8 (grouped-flat: row g*G+j <-> group g slot j),
-    labels_g/mask_g [NG, G]. Returns stacked trees + final scores."""
+    labels_g/mask_g [NG, G]. Returns stacked trees + final (local) scores.
+
+    With axis_name set (inside shard_map), the arrays are the per-device
+    shards; split decisions are computed from psum'd histograms, so every
+    device grows the IDENTICAL tree — classic data-parallel GBDT, with
+    per-level histogram all-reduce as the only communication."""
     NG, G = labels_g.shape
     N, F = bins.shape
     Fs = max(1, int(round(cfg.colsample * F)))
@@ -278,6 +288,9 @@ def _train_program(bins, labels_g, mask_g, cfg: GBDTConfig):
     def boost_step(scores, t):
         key = jax.random.fold_in(key0, t)
         k_feat, k_bag = jax.random.split(key)
+        if axis_name is not None:
+            # same feature subset everywhere; bagging differs per shard
+            k_bag = jax.random.fold_in(k_bag, jax.lax.axis_index(axis_name))
         feat_idx = jax.random.permutation(k_feat, F)[:Fs]          # [Fs]
         bag = (
             jax.random.uniform(k_bag, (NG * G,)) < cfg.subsample
@@ -287,7 +300,9 @@ def _train_program(bins, labels_g, mask_g, cfg: GBDTConfig):
         cnt = mask_g.reshape(NG * G).astype(jnp.float32) * bag
         grad, hess = grad * bag, hess * bag
         bins_sub = jnp.take(bins, feat_idx, axis=1)                # [N, Fs]
-        feat_l, thr, leaf, node = _build_tree(bins_sub, grad, hess, cnt, cfg)
+        feat_l, thr, leaf, node = _build_tree(
+            bins_sub, grad, hess, cnt, cfg, axis_name
+        )
         scores = scores + leaf[node]
         gfeat = feat_idx[feat_l]                                   # global ids
         return scores, (gfeat, thr, leaf)
@@ -297,6 +312,29 @@ def _train_program(bins, labels_g, mask_g, cfg: GBDTConfig):
         boost_step, scores0, jnp.arange(cfg.n_trees)
     )
     return gfeat, thr, leaf, scores
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _train_program(bins, labels_g, mask_g, cfg: GBDTConfig):
+    return _train_core(bins, labels_g, mask_g, cfg)
+
+
+def _train_program_dp(bins, labels_g, mask_g, cfg: GBDTConfig, mesh, axis: str):
+    """Data-parallel boosting over a mesh axis: groups (and their rows) are
+    sharded along `axis`; trees come back replicated. The dp analogue of the
+    reference's DaskLGBMRanker(tree_learner_type='data_parallel')
+    (reference: model/train_lgbm_rankers.py:110-116)."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    fn = shard_map(
+        partial(_train_core, cfg=cfg, axis_name=axis),
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis)),
+        out_specs=(P(), P(), P(), P(axis)),
+        check_rep=False,
+    )
+    return jax.jit(fn)(bins, labels_g, mask_g)
 
 
 @partial(jax.jit, static_argnames=("n_bins",))
@@ -395,24 +433,36 @@ def train_gbdt_ranker(
     feature_names: Tuple[str, ...],
     cfg: GBDTConfig = GBDTConfig(),
     valid: Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]] = None,
+    mesh=None,
+    mesh_axis: str = "data",
 ) -> GBDTRanker:
-    """Bin features, group rows by session, run the fused boosting program."""
+    """Bin features, group rows by session, run the fused boosting program.
+
+    With `mesh`, training is data-parallel over `mesh_axis`: session groups
+    are sharded across devices and per-level histograms are all-reduced."""
     import logging
 
     log = logging.getLogger(__name__)
     edges = compute_bin_edges(feats, cfg.n_bins, seed=cfg.seed)
     fg, lg, mg = _group_pad(feats, labels, group_sessions, cfg.max_group)
     NG, G, F = fg.shape
-    # grouped-flat rows; pad group count so the lambda chunk loop tiles exactly
-    ng_mult = cfg.group_chunk
+    # grouped-flat rows; pad group count so the lambda chunk loop tiles
+    # exactly (and splits evenly across mesh shards when data-parallel)
+    ng_mult = cfg.group_chunk * (mesh.shape[mesh_axis] if mesh is not None else 1)
     fg = _pad_axis0(fg, ng_mult)
     lg = _pad_axis0(lg, ng_mult)
     mg = _pad_axis0(mg, ng_mult)
     bins = bin_features(fg.reshape(-1, F), edges)
 
-    gfeat, thr, leaf, _ = _train_program(
-        jnp.asarray(bins), jnp.asarray(lg), jnp.asarray(mg), cfg
-    )
+    if mesh is not None:
+        gfeat, thr, leaf, _ = _train_program_dp(
+            jnp.asarray(bins), jnp.asarray(lg), jnp.asarray(mg), cfg,
+            mesh, mesh_axis,
+        )
+    else:
+        gfeat, thr, leaf, _ = _train_program(
+            jnp.asarray(bins), jnp.asarray(lg), jnp.asarray(mg), cfg
+        )
     model = GBDTRanker(
         cfg=cfg,
         edges=edges,

@@ -235,7 +235,9 @@ def train_ranker(
     n_groups = fg.shape[0]
     rng = np.random.default_rng(cfg.seed)
     key = jax.random.PRNGKey(cfg.seed)
-    B = cfg.batch_sessions
+    # fewer groups than the configured batch => shrink the batch, otherwise
+    # the epoch loop below would run zero steps and train nothing
+    B = min(cfg.batch_sessions, n_groups)
 
     loss = jnp.float32(0)
     for epoch in range(cfg.epochs):

@@ -130,8 +130,30 @@ def covis_update_step(
     return tuple(new_tables)
 
 
+@jax.jit
+def _flush_stage_step(
+    tables: Tuple[CountTable, ...], stages: Tuple[CountTable, ...]
+) -> Tuple[CountTable, ...]:
+    """Merge each staging table's compressed counts into its main table."""
+    return tuple(
+        counts_ops.merge_into_impl(t, s.aid, s.aid_next, s.count)
+        for t, s in zip(tables, stages)
+    )
+
+
 class CoVisCounter:
-    """Stateful device-side counter over streamed event chunks."""
+    """Stateful device-side counter over streamed event chunks.
+
+    Two-level accumulation (the reference's map-side combine made explicit,
+    model/count_co_events.py:135-168): microbatch pair streams merge into a
+    small STAGING table (cheap sort of stage_capacity + pair_budget rows);
+    every `stage_factor` microbatches the staging table is flushed into the
+    full-capacity main table. A flush cadence of stage_factor guarantees the
+    staging table never overflows (each microbatch adds <= pair_budget
+    uniques), so staging is lossless. Amortized cost drops from
+    sort(capacity + P) per microbatch to sort((f+1)P) + sort(capacity+fP)/f;
+    the auto default f = isqrt(capacity/P) is the minimizer, which only
+    kicks in when capacity >> pair budget (the production regime)."""
 
     def __init__(
         self,
@@ -139,19 +161,40 @@ class CoVisCounter:
         capacity: Optional[int] = None,
         pair_budget: int = 1 << 21,
         bucket_lens: Sequence[int] = (8, 32, 128, 512),
+        stage_factor: Optional[int] = None,
     ):
         self.cfg = cfg
         self.plan = pairs_ops.make_plan(cfg)
         self.capacity = capacity or cfg.accumulator_capacity
         self.pair_budget = pair_budget
         self.bucket_lens = tuple(bucket_lens)
+        if stage_factor is None:
+            stage_factor = max(1, int((self.capacity // pair_budget) ** 0.5))
+        self.stage_factor = stage_factor
         self._tables: Tuple[CountTable, ...] = tuple(
             counts_ops.empty_table(self.capacity) for _ in cfg.names
         )
+        self._stages: Optional[Tuple[CountTable, ...]] = None
+        self._since_flush = 0
+        if self.stage_factor > 1:
+            self.stage_capacity = self.stage_factor * pair_budget
+            self._stages = tuple(
+                counts_ops.empty_table(self.stage_capacity) for _ in cfg.names
+            )
 
     @property
     def tables(self) -> Dict[str, CountTable]:
+        self._flush()
         return dict(zip(self.cfg.names, self._tables))
+
+    def _flush(self) -> None:
+        if self._stages is None or self._since_flush == 0:
+            return
+        self._tables = _flush_stage_step(self._tables, self._stages)
+        self._stages = tuple(
+            counts_ops.empty_table(self.stage_capacity) for _ in self.cfg.names
+        )
+        self._since_flush = 0
 
     def update(self, events: Events) -> None:
         """Count all co-event pairs in a chunk of sessions. Sessions must be
@@ -162,13 +205,21 @@ class CoVisCounter:
             L = padded.max_len
             s_batch = pairs_ops.pair_budget_sessions(L, self.pair_budget)
             for mb in iter_microbatches(padded, s_batch):
-                self._tables = covis_update_step(
+                target = self._stages if self._stages is not None else self._tables
+                target = covis_update_step(
                     self.plan,
-                    self._tables,
+                    target,
                     jnp.asarray(mb.aid),
                     jnp.asarray(mb.ts),
                     jnp.asarray(mb.type),
                 )
+                if self._stages is not None:
+                    self._stages = target
+                    self._since_flush += 1
+                    if self._since_flush >= self.stage_factor:
+                        self._flush()
+                else:
+                    self._tables = target
 
     def finalize(self) -> Dict[str, CountTable]:
         """Global prune per count type (reference: model/count_co_events.py:171-175)."""

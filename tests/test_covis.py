@@ -130,3 +130,25 @@ def test_build_retrieval_tables():
     # count_pop: min=10, q9999 == max=100 (tiny table) -> (100-10)/90*10000
     cpop = np.asarray(tabs.count_pop)
     assert cpop[7, 0] == 10_000
+
+
+def test_covis_counter_staged_equals_unstaged():
+    """Two-level staged accumulation (stage_factor > 1) must be lossless:
+    exactly the same final counts as direct merging."""
+    ev = make_events(300, seed=9)
+    cfg = CoVisConfig()
+    direct = CoVisCounter(cfg, capacity=1 << 15, pair_budget=1 << 12,
+                          bucket_lens=(8, 32), stage_factor=1)
+    direct.update(ev)
+
+    staged = CoVisCounter(cfg, capacity=1 << 15, pair_budget=1 << 12,
+                          bucket_lens=(8, 32), stage_factor=4)
+    mid = ev.session < 150
+    staged.update(ev.select(mid))
+    staged.update(ev.select(~mid))  # flush boundaries interleave with chunks
+    assert staged.stage_factor == 4
+
+    for name in cfg.names:
+        t1 = table_to_dict(counts_ops.finalize(direct.tables[name], 1, 10**9))
+        t2 = table_to_dict(counts_ops.finalize(staged.tables[name], 1, 10**9))
+        assert t1 == t2, f"staged counting diverged for {name}"

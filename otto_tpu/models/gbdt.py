@@ -337,8 +337,24 @@ def _train_program_dp(bins, labels_g, mask_g, cfg: GBDTConfig, mesh, axis: str):
     return jax.jit(fn)(bins, labels_g, mask_g)
 
 
+@jax.jit
+def _bin_program(x, edges):
+    """Device-side quantile binning: x [M, F] f32, edges [F, B-1] ->
+    [M, F] uint8. The host-numpy `bin_features` is O(M*F*B) comparisons on
+    2 cores; here it's B-1 vectorized passes over x (a scan, so the [M, F, B]
+    comparison tensor is never materialized)."""
+
+    def body(acc, e):  # e: [F] — one edge per feature
+        return acc + (x >= e[None, :]).astype(jnp.int32), None
+
+    acc, _ = jax.lax.scan(
+        body, jnp.zeros(x.shape, jnp.int32), jnp.transpose(edges)
+    )
+    return acc.astype(jnp.uint8)
+
+
 @partial(jax.jit, static_argnames=("n_bins",))
-def _predict_program(bins, gfeat, thr, leaf, n_bins: int):
+def _predict_binned_program(bins, gfeat, thr, leaf, n_bins: int):
     """bins [M, F] uint8; trees gfeat/thr [T, D, W], leaf [T, 2^D] -> [M]."""
     bins = bins.astype(jnp.int32)
     M = bins.shape[0]
@@ -358,6 +374,14 @@ def _predict_program(bins, gfeat, thr, leaf, n_bins: int):
     return scores
 
 
+@partial(jax.jit, static_argnames=("n_bins",))
+def _predict_program(x, edges, gfeat, thr, leaf, n_bins: int):
+    """Fused bin + traverse: raw features [M, F] f32 -> scores [M]."""
+    return _predict_binned_program(
+        _bin_program(x, edges), gfeat, thr, leaf, n_bins
+    )
+
+
 # ---------------------------------------------------------------------------
 # public API
 # ---------------------------------------------------------------------------
@@ -374,17 +398,21 @@ class GBDTRanker:
     feature_names: Tuple[str, ...]
 
     def predict(self, feats: np.ndarray, batch: int = 1 << 16) -> np.ndarray:
-        out = np.empty(feats.shape[0], np.float32)
-        tf, tt, tl = (
+        n = feats.shape[0]
+        out = np.empty(n, np.float32)
+        ed, tf, tt, tl = (
+            jnp.asarray(self.edges),
             jnp.asarray(self.gfeat),
             jnp.asarray(self.thr),
             jnp.asarray(self.leaf),
         )
-        for i in range(0, feats.shape[0], batch):
-            b = bin_features(np.asarray(feats[i : i + batch], np.float32), self.edges)
+        for i in range(0, n, batch):
+            x = np.asarray(feats[i : i + batch], np.float32)
+            if x.shape[0] < batch and n > batch:
+                x = np.pad(x, ((0, batch - x.shape[0]), (0, 0)))  # one shape
             out[i : i + batch] = np.asarray(
-                _predict_program(jnp.asarray(b), tf, tt, tl, self.cfg.n_bins)
-            )
+                _predict_program(jnp.asarray(x), ed, tf, tt, tl, self.cfg.n_bins)
+            )[: n - i]
         return out
 
     def feature_importance(self) -> np.ndarray:
@@ -452,16 +480,15 @@ def train_gbdt_ranker(
     fg = _pad_axis0(fg, ng_mult)
     lg = _pad_axis0(lg, ng_mult)
     mg = _pad_axis0(mg, ng_mult)
-    bins = bin_features(fg.reshape(-1, F), edges)
+    bins = _bin_program(jnp.asarray(fg.reshape(-1, F)), jnp.asarray(edges))
 
     if mesh is not None:
         gfeat, thr, leaf, _ = _train_program_dp(
-            jnp.asarray(bins), jnp.asarray(lg), jnp.asarray(mg), cfg,
-            mesh, mesh_axis,
+            bins, jnp.asarray(lg), jnp.asarray(mg), cfg, mesh, mesh_axis
         )
     else:
         gfeat, thr, leaf, _ = _train_program(
-            jnp.asarray(bins), jnp.asarray(lg), jnp.asarray(mg), cfg
+            bins, jnp.asarray(lg), jnp.asarray(mg), cfg
         )
     model = GBDTRanker(
         cfg=cfg,

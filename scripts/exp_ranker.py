@@ -86,7 +86,9 @@ def load_cache():
             RetrievedBatch(
                 session=z[f"session_{i}"],
                 cand=z[f"cand_{i}"],
-                feats=z[f"feats_{i}"].astype(np.float32),
+                # keep f16: consumers (downsample gather, predict chunks)
+                # upcast lazily; a full f32 copy costs ~2 GB RAM at 20k
+                feats=z[f"feats_{i}"],
                 ts_order=z[f"ts_order_{i}"],
             )
         )

@@ -161,3 +161,17 @@ def test_gbdt_dp_histogram_reduction_exact():
         for di in range(d):
             oracle = np.bincount(bn[:, fi], weights=ghc[:, di], minlength=bins)
             np.testing.assert_allclose(h[fi, :, di], oracle, rtol=5e-2, atol=1e-1)
+
+
+def test_device_binning_matches_host():
+    import jax.numpy as jnp
+
+    from otto_tpu.models.gbdt import _bin_program
+
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(500, 6)).astype(np.float32)
+    x[:, 2] = -1.0
+    edges = compute_bin_edges(x, n_bins=16)
+    host = bin_features(x, edges)
+    dev = np.asarray(_bin_program(jnp.asarray(x), jnp.asarray(edges)))
+    np.testing.assert_array_equal(host, dev)

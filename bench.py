@@ -99,9 +99,18 @@ def main() -> int:
             cfg.max_session_aids, cfg.max_candidates,
         )
 
-    # warmup / compile each bucket shape
+    # block_until_ready is NOT a reliable sync on tunneled runtimes
+    # (measured: returns immediately while the device queue still drains);
+    # a host fetch of a dependent scalar is. Execution is in-order on the
+    # single chip, so fetching the last output drains everything before it.
+    checksum = jax.jit(lambda c, f, t: c.sum() + t.sum() + f.sum().astype(jnp.int32))
+
+    def sync(out):
+        return int(np.asarray(checksum(*out)))
+
+    # warmup / compile each bucket shape (incl. the checksum program)
     for mbs in jobs:
-        jax.block_until_ready(run_one(mbs[0]))
+        sync(run_one(mbs[0]))
     print(f"# compiled {time.time()-t0:.1f}s", file=sys.stderr)
 
     n_measured = 0
@@ -111,7 +120,7 @@ def main() -> int:
         for mb in mbs:
             out = run_one(mb)
             n_measured += int((mb.session >= 0).sum())
-    jax.block_until_ready(out)
+    sync(out)
     dt = time.time() - t
 
     sessions_per_s = n_measured / dt

@@ -87,7 +87,10 @@ def score(params: RankerParams, feats: jnp.ndarray) -> jnp.ndarray:
 
 def compute_norm_stats(feats: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     """Feature normalization stats over a training sample (after log squash)."""
-    x = np.sign(feats) * np.log1p(np.abs(feats))
+    # f32 up-cast first: half-precision inputs (e.g. compacted feature
+    # caches) overflow both np.abs on ±inf rows and f16-accumulated means
+    x = np.asarray(feats, np.float32)
+    x = np.sign(x) * np.log1p(np.abs(x))
     mean = x.mean(axis=0)
     std = x.std(axis=0)
     std = np.where(std < 1e-6, 1.0, std)
@@ -226,6 +229,7 @@ def train_ranker(
     valid: Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]] = None,
 ) -> Ranker:
     """Group rows by session, pad groups to cfg.max_group, train."""
+    feats = np.asarray(feats, np.float32)
     mean, std = compute_norm_stats(feats[: 1 << 20])
     params = init_ranker(feats.shape[1], cfg, mean, std)
     optimizer = optax.adamw(cfg.learning_rate, weight_decay=cfg.weight_decay)

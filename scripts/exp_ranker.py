@@ -113,6 +113,9 @@ def eval_variant(name, make_ranker, batches, targets, labels, ceiling):
         feats, y, sess = rank_engine.downsample(
             batches, targets, TYPE2ID[tname], cfg.ranker
         )
+        # cache stores f16; trainers (mean/std norm, quantiles) need f32 —
+        # f16 accumulation made the MLP normalizer overflow to nan
+        feats = feats.astype(np.float32, copy=False)
         u_sess = np.unique(sess)
         n_train = max(1, int(len(u_sess) * 0.75))
         vmask = np.isin(sess, u_sess[n_train:])

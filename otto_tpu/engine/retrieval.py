@@ -271,6 +271,36 @@ def retrieve_batch(
     if _stop_after == "fanout":
         return flat_cand, flat_i, key1
     # ---------------- Stage C: level-1 dedup + trim --------------------------
+    # Per-source-aid stats RIDE the level-1 sort as 'carry' payloads (every
+    # entry of a (source-aid, cand) segment shares the same source aid, so
+    # the value is segment-constant). This replaces ~19 take_along_axis
+    # gathers by e_i — TPU dynamic gathers run ~100x off the bandwidth
+    # roofline while sort payload movement is near it (ops/segment.py).
+    def carry_of(arr):  # [S, A_k] -> [S, P1] broadcast along the block dim
+        return jnp.broadcast_to(arr[:, :, None], (S, A_k, F_src)).reshape(S, P1)
+
+    SA_CARRY = (
+        ("src", src_aid),
+        ("n_aid", sa.n_aid),
+        ("n_aid_clicks", sa.n_aid_clicks),
+        ("n_aid_carts", sa.n_aid_carts),
+        ("n_aid_orders", sa.n_aid_orders),
+        ("rank_by_n_aid", sa.rank_by_n_aid),
+        ("rank_by_n_aid_carts", sa.rank_by_n_aid_carts),
+        ("rank_by_n_aid_orders", sa.rank_by_n_aid_orders),
+        ("max_ts_aid", sa.max_ts_aid),
+        ("max_ts_aid_clicks", sa.max_ts_aid_clicks),
+        ("max_ts_aid_carts", sa.max_ts_aid_carts),
+        ("max_ts_aid_orders", sa.max_ts_aid_orders),
+        ("ts_order_aid", sa.ts_order_aid),
+        ("ts_order_aid_rel", sa.ts_order_aid_rel),
+        ("ts_order_aid_clicks", sa.ts_order_aid_clicks),
+        ("ts_order_aid_carts", sa.ts_order_aid_carts),
+        ("ts_order_aid_orders", sa.ts_order_aid_orders),
+        ("ts_aid_rel_pos_in_session", sa.ts_aid_rel_pos_in_session),
+        ("left_in_cart", sa.left_in_cart),
+    )
+
     cols1 = {}
     for t in range(n_cov):
         cols1[f"cov{t}_count"] = (grids[f"cov{t}_count"].reshape(S, P1), "max")
@@ -281,23 +311,24 @@ def retrieve_batch(
     for kind in ("w2v_all", "w2v_12"):
         cols1[f"{kind}_rank"] = (grids[f"{kind}_rank"].reshape(S, P1), "min")
         cols1[f"{kind}_dist"] = (grids[f"{kind}_dist"].reshape(S, P1), "min")
+    for name, arr in SA_CARRY:
+        cols1[f"sa_{name}"] = (carry_of(arr), "carry")
 
-    uk1, red1, _ = seg.rowwise_groupby(key1, cols1)
-    e_valid = uk1 != SENT
-    e_i = jnp.where(e_valid, uk1 >> AID_BITS, 0)
-    e_cand = jnp.where(e_valid, uk1 & AID_MASK, -1)
+    ks1, red1, end1, _ = seg.rowwise_groupby_scan(key1, cols1)
+    # sorted layout: reduced values live at segment-END lanes only
+    e_valid = end1
+    e_cand = jnp.where(ks1 != SENT, ks1 & AID_MASK, -1)
 
-    def stat_of(arr):  # gather per-entry session-aid stat by e_i
-        return jnp.take_along_axis(arr, e_i, axis=1)
+    def stat_of(name):  # carried per-source-aid stat, aligned to entries
+        return red1[f"sa_{name}"]
 
-    e_src_aid = stat_of(src_aid)
-    is_self = e_valid & (e_cand == e_src_aid)
+    is_self = e_valid & (e_cand == stat_of("src"))
 
     # trim (reference :490-510)
     orders = [
-        stat_of(sa.rank_by_n_aid), stat_of(sa.ts_order_aid),
-        stat_of(sa.ts_order_aid_clicks), stat_of(sa.ts_order_aid_carts),
-        stat_of(sa.ts_order_aid_orders),
+        stat_of("rank_by_n_aid"), stat_of("ts_order_aid"),
+        stat_of("ts_order_aid_clicks"), stat_of("ts_order_aid_carts"),
+        stat_of("ts_order_aid_orders"),
     ]
     orders = [jnp.where(o == NULL, SENT, o) for o in orders]
     best_order = jnp.minimum(
@@ -331,43 +362,35 @@ def retrieve_batch(
     cols2: Dict[str, Tuple[jnp.ndarray, str]] = {}
     ones = keep.astype(jnp.int32)
     cols2["n_uniq_aid"] = (ones, "sum")
-    cols2["n_uniq_aid_clicks"] = ((keep & (stat_of(sa.n_aid_clicks) > 0)).astype(jnp.int32), "sum")
-    cols2["n_uniq_aid_carts"] = ((keep & (stat_of(sa.n_aid_carts) > 0)).astype(jnp.int32), "sum")
-    cols2["n_uniq_aid_orders"] = ((keep & (stat_of(sa.n_aid_orders) > 0)).astype(jnp.int32), "sum")
-    cols2["n_aid"] = (masked(stat_of(sa.n_aid), 0), "sum")
-    cols2["n_aid_clicks"] = (masked(stat_of(sa.n_aid_clicks), 0), "sum")
-    cols2["n_aid_carts"] = (masked(stat_of(sa.n_aid_carts), 0), "sum")
-    cols2["n_aid_orders"] = (masked(stat_of(sa.n_aid_orders), 0), "sum")
+    cols2["n_uniq_aid_clicks"] = ((keep & (stat_of("n_aid_clicks") > 0)).astype(jnp.int32), "sum")
+    cols2["n_uniq_aid_carts"] = ((keep & (stat_of("n_aid_carts") > 0)).astype(jnp.int32), "sum")
+    cols2["n_uniq_aid_orders"] = ((keep & (stat_of("n_aid_orders") > 0)).astype(jnp.int32), "sum")
+    cols2["n_aid"] = (masked(stat_of("n_aid"), 0), "sum")
+    cols2["n_aid_clicks"] = (masked(stat_of("n_aid_clicks"), 0), "sum")
+    cols2["n_aid_carts"] = (masked(stat_of("n_aid_carts"), 0), "sum")
+    cols2["n_aid_orders"] = (masked(stat_of("n_aid_orders"), 0), "sum")
 
-    mt = stat_of(sa.max_ts_aid)
+    mt = stat_of("max_ts_aid")
     min_ts_col = ss.min_ts[:, None]  # baseline keeps per-segment sums in i32
     cols2["max_ts_aid"] = (masked(_null_to(mt, NULL, NEG_SENT), NEG_SENT), "max")
     cols2["sum_rel_max_ts_aid"] = (
         masked(jnp.where(mt == NULL, 0, mt - min_ts_col), 0), "sum")
-    for suff, arr in (
-        ("clicks", sa.max_ts_aid_clicks),
-        ("carts", sa.max_ts_aid_carts),
-        ("orders", sa.max_ts_aid_orders),
-    ):
-        a = stat_of(arr)
+    for suff in ("clicks", "carts", "orders"):
+        a = stat_of(f"max_ts_aid_{suff}")
         cols2[f"max_ts_aid_{suff}"] = (masked(_null_to(a, NULL, NEG_SENT), NEG_SENT), "max")
-    mto = stat_of(sa.max_ts_aid_orders)
+    mto = stat_of("max_ts_aid_orders")
     has_o = keep & (mto != NULL)
     cols2["sum_rel_max_ts_aid_orders"] = (
         jnp.where(has_o, mto - min_ts_col, 0), "sum")
     cols2["cnt_max_ts_aid_orders"] = (has_o.astype(jnp.int32), "sum")
 
-    for name, arr in (
-        ("ts_order_aid", sa.ts_order_aid),
-        ("ts_order_aid_rel", sa.ts_order_aid_rel),
-        ("ts_order_aid_clicks", sa.ts_order_aid_clicks),
-        ("ts_order_aid_carts", sa.ts_order_aid_carts),
-        ("ts_order_aid_orders", sa.ts_order_aid_orders),
-        ("rank_by_n_aid", sa.rank_by_n_aid),
+    for name in (
+        "ts_order_aid", "ts_order_aid_rel", "ts_order_aid_clicks",
+        "ts_order_aid_carts", "ts_order_aid_orders", "rank_by_n_aid",
     ):
-        a = stat_of(arr)
+        a = stat_of(name)
         cols2[name] = (masked(_null_to(a, NULL, SENT), SENT), "min")
-    relp = stat_of(sa.ts_aid_rel_pos_in_session)
+    relp = stat_of("ts_aid_rel_pos_in_session")
     cols2["sum_rel_pos"] = (masked(jnp.where(relp == NULL, 0, relp), 0), "sum")
 
     for t in range(n_cov):
@@ -390,31 +413,31 @@ def retrieve_batch(
         cols2[f"{kind}_sum_dist"] = (jnp.where(present, d, 0.0), "sum")
 
     # self features ride as (is_self ? stat : identity)
-    def slf(arr, red, ident, null_src=NULL, null_dst=None):
-        a = stat_of(arr)
+    def slf(name, red, ident, null_src=NULL, null_dst=None):
+        a = stat_of(name)
         if null_dst is not None:
             a = _null_to(a, null_src, null_dst)
         return (jnp.where(is_self & keep, a, ident), red)
 
     cols2["slf_present"] = ((is_self & keep).astype(jnp.int32), "sum")
-    cols2["slf_n"] = slf(sa.n_aid, "sum", 0)
-    cols2["slf_n_clicks"] = slf(sa.n_aid_clicks, "sum", 0)
-    cols2["slf_n_carts"] = slf(sa.n_aid_carts, "sum", 0)
-    cols2["slf_n_orders"] = slf(sa.n_aid_orders, "sum", 0)
-    cols2["slf_rank_by_n"] = slf(sa.rank_by_n_aid, "min", SENT, NULL, SENT)
-    cols2["slf_rank_by_n_carts"] = slf(sa.rank_by_n_aid_carts, "min", SENT, NULL, SENT)
-    cols2["slf_rank_by_n_orders"] = slf(sa.rank_by_n_aid_orders, "min", SENT, NULL, SENT)
-    cols2["slf_max_ts"] = slf(sa.max_ts_aid, "max", NEG_SENT, NULL, NEG_SENT)
-    cols2["slf_max_ts_clicks"] = slf(sa.max_ts_aid_clicks, "max", NEG_SENT, NULL, NEG_SENT)
-    cols2["slf_max_ts_carts"] = slf(sa.max_ts_aid_carts, "max", NEG_SENT, NULL, NEG_SENT)
-    cols2["slf_max_ts_orders"] = slf(sa.max_ts_aid_orders, "max", NEG_SENT, NULL, NEG_SENT)
-    cols2["slf_ts_rel_pos"] = slf(sa.ts_aid_rel_pos_in_session, "min", SENT, NULL, SENT)
-    cols2["slf_ts_order"] = slf(sa.ts_order_aid, "min", SENT, NULL, SENT)
-    cols2["slf_ts_order_rel"] = slf(sa.ts_order_aid_rel, "min", SENT, NULL, SENT)
-    cols2["slf_ts_order_clicks"] = slf(sa.ts_order_aid_clicks, "min", SENT, NULL, SENT)
-    cols2["slf_ts_order_carts"] = slf(sa.ts_order_aid_carts, "min", SENT, NULL, SENT)
-    cols2["slf_ts_order_orders"] = slf(sa.ts_order_aid_orders, "min", SENT, NULL, SENT)
-    cols2["slf_left_in_cart"] = slf(sa.left_in_cart, "sum", 0)
+    cols2["slf_n"] = slf("n_aid", "sum", 0)
+    cols2["slf_n_clicks"] = slf("n_aid_clicks", "sum", 0)
+    cols2["slf_n_carts"] = slf("n_aid_carts", "sum", 0)
+    cols2["slf_n_orders"] = slf("n_aid_orders", "sum", 0)
+    cols2["slf_rank_by_n"] = slf("rank_by_n_aid", "min", SENT, NULL, SENT)
+    cols2["slf_rank_by_n_carts"] = slf("rank_by_n_aid_carts", "min", SENT, NULL, SENT)
+    cols2["slf_rank_by_n_orders"] = slf("rank_by_n_aid_orders", "min", SENT, NULL, SENT)
+    cols2["slf_max_ts"] = slf("max_ts_aid", "max", NEG_SENT, NULL, NEG_SENT)
+    cols2["slf_max_ts_clicks"] = slf("max_ts_aid_clicks", "max", NEG_SENT, NULL, NEG_SENT)
+    cols2["slf_max_ts_carts"] = slf("max_ts_aid_carts", "max", NEG_SENT, NULL, NEG_SENT)
+    cols2["slf_max_ts_orders"] = slf("max_ts_aid_orders", "max", NEG_SENT, NULL, NEG_SENT)
+    cols2["slf_ts_rel_pos"] = slf("ts_aid_rel_pos_in_session", "min", SENT, NULL, SENT)
+    cols2["slf_ts_order"] = slf("ts_order_aid", "min", SENT, NULL, SENT)
+    cols2["slf_ts_order_rel"] = slf("ts_order_aid_rel", "min", SENT, NULL, SENT)
+    cols2["slf_ts_order_clicks"] = slf("ts_order_aid_clicks", "min", SENT, NULL, SENT)
+    cols2["slf_ts_order_carts"] = slf("ts_order_aid_carts", "min", SENT, NULL, SENT)
+    cols2["slf_ts_order_orders"] = slf("ts_order_aid_orders", "min", SENT, NULL, SENT)
+    cols2["slf_left_in_cart"] = slf("left_in_cart", "sum", 0)
 
     # popularity candidates appended as extra entries (outer join,
     # reference :572-585)
@@ -449,40 +472,33 @@ def retrieve_batch(
         "sum",
     )
 
-    uk2, red2, _ = seg.rowwise_groupby(key2, cols2p)
-    c_valid = uk2 != SENT
+    ks2, red2, end2, _ = seg.rowwise_groupby_scan(key2, cols2p)
 
     if _stop_after == "l2":
-        return uk2, red2["n_uniq_aid"]
+        return ks2, red2["n_uniq_aid"]
     # ---------------- Stage E: compaction ------------------------------------
+    # Fused with the recency-priority selection: ONE payload-transport sort
+    # keyed on the per-candidate ts_order priority (segment ends only) both
+    # compacts the groupby result and applies the top-C cut — the separate
+    # compaction sort + stacked column gathers of the old layout disappear.
     ts_order = jnp.where(
-        c_valid, _null_to(red2["ts_order_aid"], SENT, 999), SENT
+        end2, _null_to(red2["ts_order_aid"], SENT, 999), SENT
     )
-    prio = jnp.where(c_valid, jnp.clip(ts_order, 0, 999), SENT)
-    (pk,), (perm,) = seg.rowwise_sort(
-        (prio,),
-        (jnp.broadcast_to(jnp.arange(P2, dtype=jnp.int32)[None, :], (S, P2)),),
+    prio = jnp.where(end2, jnp.clip(ts_order, 0, 999), SENT)
+    names2 = list(red2)
+    pk, comp = seg.rowwise_transport_sort(
+        prio,
+        [jnp.where(end2, ks2, -1), ts_order] + [red2[n] for n in names2],
     )
-    take = perm[:, :max_candidates]
     C = max_candidates
-
-    def compact(arr):
-        return jnp.take_along_axis(arr, take, axis=1)
-
-    cand = compact(jnp.where(c_valid, uk2, -1))
+    slot_ok = pk[:, :C] != SENT
+    cand = jnp.where(slot_ok, comp[0][:, :C], -1)
     valid = cand >= 0
-    ts_order_c = compact(ts_order)
-    # compact all reduced columns with ONE stacked gather per dtype (many
-    # separate sort-index gathers hit a severe TPU slow path)
+    ts_order_c = jnp.where(slot_ok, comp[1][:, :C], SENT)
     r2: Dict[str, jnp.ndarray] = {}
-    for want_dtype in (jnp.int32, jnp.float32):
-        names = [n for n, a in red2.items() if a.dtype == want_dtype]
-        if not names:
-            continue
-        st = jnp.stack([red2[n] for n in names], axis=0)  # [k, S, P2]
-        stc = jnp.take_along_axis(st, take[None, :, :], axis=2)
-        for i, n in enumerate(names):
-            r2[n] = stc[i]
+    for i, n in enumerate(names2):
+        ident = seg._reduce_identity(cols2p[n][0].dtype, cols2p[n][1])
+        r2[n] = jnp.where(slot_ok, comp[2 + i][:, :C], ident)
 
     if _stop_after == "compact":
         return cand, ts_order_c

@@ -320,64 +320,128 @@ def _reduce_identity(dtype, red: str):
     return jnp.array(SENTINEL if red == "min" else NEG_SENTINEL, dtype)
 
 
+def _pallas_gather_mode() -> str:
+    """'on' | 'off' | 'interpret' — whether transport gathers route through
+    the Pallas chunked-vreg gather kernel (ops/pallas/gather.py). Auto: on
+    for TPU backends (XLA's row gather measured ~100x off roofline there),
+    XLA take_along_axis elsewhere."""
+    import os
+
+    v = os.environ.get("OTTO_PALLAS_GATHER", "auto")
+    if v in ("on", "off", "interpret"):
+        return v
+    return "on" if jax.default_backend() == "tpu" else "off"
+
+
+def rowwise_transport_sort(key: jnp.ndarray, arrays):
+    """Stable-sort `arrays` by `key` along the last axis: ONE (key, pos)
+    sort, then every column moves through the permutation in dtype-stacked
+    gathers.
+
+    On TPU the gathers use the Pallas chunked-vreg kernel — XLA's
+    take_along_axis lowers row gathers ~100x off the bandwidth roofline
+    (honest v5e: 49 ms for [28, 512, 2560] i32 vs ~5 ms for the kernel),
+    while carrying the columns as sort payload operands is runtime-cheap
+    but a COMPILE bomb (superlinear in sort arity: 17 operands ~60s,
+    33 ~290s, 60+ did not finish in 28 min of remote compile).
+
+    Returns (sorted_key, [sorted_arrays...]).
+    """
+    S, C = key.shape
+    pos = jnp.broadcast_to(jnp.arange(C, dtype=jnp.int32)[None, :], (S, C))
+    ks, perm = lax.sort((key, pos), dimension=-1, num_keys=1, is_stable=True)
+    if not arrays:
+        return ks, []
+    mode = _pallas_gather_mode()
+    # stack by dtype: one gather per dtype group
+    groups: dict = {}
+    for i, a in enumerate(arrays):
+        groups.setdefault(jnp.dtype(a.dtype).name, []).append(i)
+    outs = [None] * len(arrays)
+    for _, idxs in groups.items():
+        st = jnp.stack([arrays[i] for i in idxs], axis=0)
+        if mode != "off" and C >= 256:
+            from otto_tpu.ops.pallas.gather import gather_rows
+
+            g = gather_rows(st, perm, interpret=mode == "interpret")
+        else:
+            g = jnp.take_along_axis(st, perm[None, :, :], axis=2)
+        for j, i in enumerate(idxs):
+            outs[i] = g[j]
+    return ks, outs
+
+
+def rowwise_groupby_scan(
+    key: jnp.ndarray,
+    columns: dict,
+) -> Tuple[jnp.ndarray, dict, jnp.ndarray, jnp.ndarray]:
+    """Sorted-layout per-row groupby: sort by key (payload transport), then
+    segmented-scan each column so the LAST lane of every segment holds the
+    segment's full reduction.
+
+    `columns` maps name -> (array [S, C], reducer), reducer in
+    {'sum', 'min', 'max', 'carry'}; 'carry' marks columns whose value is
+    identical across a segment (per-group attributes) — they ride the sort
+    but skip the scan.
+
+    Returns (ks [S, C] sorted keys, {name: scanned [S, C]}, is_end [S, C]
+    bool segment-end marks (False on SENTINEL-key lanes), n_unique [S]).
+    Downstream consumers must read values at is_end lanes only.
+    """
+    S, C = key.shape
+    names = list(columns)
+    ks, sorted_cols = rowwise_transport_sort(
+        key, [columns[n][0] for n in names]
+    )
+    by_name = dict(zip(names, sorted_cols))
+    first = ks != _shift_right(ks, NEG_SENTINEL)
+    valid_key = ks != SENTINEL
+
+    # group scan work by (dtype, reducer): one stacked scan per group shares
+    # the shift masks across columns; within-segment accumulation only, so
+    # i32 never sees cross-segment totals
+    groups: dict = {}
+    for n in names:
+        arr, red = columns[n]
+        if red == "carry":
+            continue
+        groups.setdefault((jnp.dtype(arr.dtype).name, red), []).append(n)
+    out = dict(by_name)
+    for (_, red), gnames in groups.items():
+        st = jnp.stack([by_name[n] for n in gnames], axis=0)
+        (sc,) = segmented_scan((st,), (red,), first[None, :, :], axis=2)
+        for j, n in enumerate(gnames):
+            out[n] = sc[j]
+
+    is_end = _shift_left(first, True) & valid_key
+    n_unique = jnp.sum(first & valid_key, axis=-1).astype(jnp.int32)
+    return ks, out, is_end, n_unique
+
+
 def rowwise_groupby(
     key: jnp.ndarray,
     columns: dict,
 ) -> Tuple[jnp.ndarray, dict, jnp.ndarray]:
-    """Per-row groupby, SCATTERLESS (TPU scatters are ~1000x slower than
-    gathers; see bench notes in ARCHITECTURE.md).
+    """Per-row groupby, SCATTERLESS and GATHERLESS: payload-transport sort +
+    segmented scan (rowwise_groupby_scan), then a second payload-transport
+    sort keyed on "segment end? key : SENTINEL" compacts each segment's
+    total to the front in ascending-key order.
 
     `columns` maps name -> (array [S, C], reducer), reducer in
-    {'sum', 'min', 'max'}. One sort orders the keys (carrying a
-    permutation); every column is gathered through it. Sums use
-    cumsum + segment-boundary differences; min/max use a segmented
-    Hillis-Steele scan (log2(C) shifted selects, shared masks across
-    columns); the per-row segment-start compaction is a second sort.
+    {'sum', 'min', 'max'}.
 
     Returns (unique_key [S, C] SENTINEL back-padded, {name: reduced [S, C]},
     n_unique [S]). Reduced padding lanes carry each reducer's identity.
     """
-    S, C = key.shape
-    pos = jnp.broadcast_to(jnp.arange(C, dtype=jnp.int32)[None, :], (S, C))
-    (ks,), (perm,) = rowwise_sort((key,), (pos,))
-    first = ks != _shift_right(ks, NEG_SENTINEL)
-
-    # compaction: j-th slot <- start position of segment j (second sort)
-    big = jnp.int32(C + 1)
-    (starts,), () = rowwise_sort((jnp.where(first, pos, big),), ())
-    next_start = _shift_left(starts, big)
-    slot_valid = starts < C
-    idx_s = jnp.minimum(starts, C - 1)
-    idx_e = jnp.minimum(jnp.minimum(next_start, C) - 1, C - 1)
-
-    uk = jnp.where(
-        slot_valid, jnp.take_along_axis(ks, idx_s, axis=1), SENTINEL
-    )
+    names = list(columns)
+    ks, scanned, is_end, n_unique = rowwise_groupby_scan(key, columns)
+    comp_key = jnp.where(is_end, ks, SENTINEL)
+    uk, comp = rowwise_transport_sort(comp_key, [scanned[n] for n in names])
     is_pad_slot = uk == SENTINEL
-
-    # Group columns by (dtype, reducer) and STACK each group into one
-    # [S, C, k] tensor: one permutation gather, one segmented scan, one
-    # output gather per group — many small sort-index gathers in one program
-    # hit a severe XLA/TPU slow path (measured seconds vs sub-ms stacked).
-    # The scan accumulates only within segments, so int32 never sees
-    # cross-segment totals (a row cumsum would overflow on ts columns).
-    groups: dict = {}
-    for n, (arr, red) in columns.items():
-        groups.setdefault((jnp.dtype(arr.dtype).name, red), []).append(n)
-
     out = {}
-    for (dtype_name, red), names in groups.items():
-        # stack on axis 0: [k, S, C] keeps C in the (aligned) lane dim, so
-        # the scan's rolls are cheap lane shifts and k is a pure batch dim
-        st = jnp.stack([columns[n][0] for n in names], axis=0)
-        g = jnp.take_along_axis(st, perm[None, :, :], axis=2)
-        (scanned,) = segmented_scan((g,), (red,), first[None, :, :], axis=2)
-        o = jnp.take_along_axis(scanned, idx_e[None, :, :], axis=2)
-        ident = _reduce_identity(st.dtype, red)
-        o = jnp.where(is_pad_slot[None, :, :], ident, o)
-        for i, n in enumerate(names):
-            out[n] = o[i]
-    n_unique = jnp.sum(first & (ks != SENTINEL), axis=-1).astype(jnp.int32)
+    for i, n in enumerate(names):
+        ident = _reduce_identity(columns[n][0].dtype, columns[n][1])
+        out[n] = jnp.where(is_pad_slot, ident, comp[i])
     return uk, out, n_unique
 
 

@@ -53,23 +53,27 @@ def test_multi_chunk_carry():
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
-def test_rowwise_groupby_pallas_route(monkeypatch):
-    """rowwise_groupby must be bit-identical whichever scan backend runs."""
+def test_rowwise_groupby_scan_layout():
+    """rowwise_groupby_scan's segment-end values must equal the compacted
+    rowwise_groupby reductions (same groups, different layout)."""
     rng = np.random.default_rng(11)
-    S, C = 4, 600  # C >= 512 triggers the pallas route
+    S, C = 4, 600
     key = jnp.asarray(rng.integers(0, 40, (S, C)).astype(np.int32))
     cols = {
         "a": (jnp.asarray(rng.integers(0, 100, (S, C)).astype(np.int32)), "sum"),
         "b": (jnp.asarray(rng.integers(0, 100, (S, C)).astype(np.int32)), "min"),
         "c": (jnp.asarray(rng.normal(size=(S, C)).astype(np.float32)), "max"),
     }
-    monkeypatch.setenv("OTTO_PALLAS_SCAN", "off")
-    uk0, out0, n0 = seg.rowwise_groupby(key, cols)
-    monkeypatch.setenv("OTTO_PALLAS_SCAN", "interpret")
-    uk1, out1, n1 = seg.rowwise_groupby(key, cols)
-    np.testing.assert_array_equal(np.asarray(uk0), np.asarray(uk1))
-    np.testing.assert_array_equal(np.asarray(n0), np.asarray(n1))
-    for k in cols:
-        np.testing.assert_allclose(
-            np.asarray(out0[k]), np.asarray(out1[k]), rtol=1e-6
-        )
+    uk, out, n = seg.rowwise_groupby(key, cols)
+    ks, scanned, is_end, n2 = seg.rowwise_groupby_scan(key, cols)
+    np.testing.assert_array_equal(np.asarray(n), np.asarray(n2))
+    ksn = np.asarray(ks); endn = np.asarray(is_end)
+    ukn = np.asarray(uk)
+    for s in range(S):
+        ends = np.nonzero(endn[s])[0]
+        np.testing.assert_array_equal(ksn[s, ends], ukn[s, : len(ends)])
+        for name in cols:
+            vals = np.asarray(scanned[name])[s, ends]
+            np.testing.assert_allclose(
+                vals, np.asarray(out[name])[s, : len(ends)], rtol=1e-6
+            )

@@ -64,7 +64,6 @@ def sort_compress(
     Returns (uk1, uk2, uv, n_unique): unique keys packed at the front in
     ascending (k1, k2) order, padding rows carry SENTINEL keys and uv == 0.
     """
-    n = k1.shape[0]
     if valid is not None:
         k1 = jnp.where(valid, k1, SENTINEL)
         k2 = jnp.where(valid, k2, SENTINEL)
@@ -77,19 +76,15 @@ def sort_compress(
     # segmented prefix-sum: last element of each segment = segment total
     (a,) = segmented_scan((vs,), ("sum",), first, axis=0)
 
-    big = jnp.int32(n + 1)
-    pos = jnp.arange(n, dtype=jnp.int32)
-    (starts,) = lax.sort((jnp.where(first, pos, big),), num_keys=1)
-    next_start = _shift_left(starts, big)
-    slot_valid = starts < n
-    idx_s = jnp.minimum(starts, n - 1)
-    idx_e = jnp.minimum(jnp.minimum(next_start, n) - 1, n - 1)
-
-    uk1 = jnp.where(slot_valid, k1s[idx_s], SENTINEL)
-    uk2 = jnp.where(slot_valid, k2s[idx_s], SENTINEL)
-    is_pad = uk1 == SENTINEL
-    uv = jnp.where(is_pad, jnp.zeros_like(a), a[idx_e])
-    n_unique = jnp.sum(first & (k1s != SENTINEL)).astype(jnp.int32)
+    # compact segment ends to the front with a second payload-carrying
+    # sort — flat 1-D gathers measured ~50 ms at 2M rows on v5e (the same
+    # ~100x-off-roofline pathology as row gathers), the sort is ~4 ms
+    is_end = _shift_left(first, True) & (k1s != SENTINEL)
+    ck1 = jnp.where(is_end, k1s, SENTINEL)
+    ck2 = jnp.where(is_end, k2s, SENTINEL)
+    uk1, uk2, uv = lax.sort((ck1, ck2, a), num_keys=2)
+    uv = jnp.where(uk1 == SENTINEL, jnp.zeros_like(uv), uv)
+    n_unique = jnp.sum(is_end).astype(jnp.int32)
     return uk1, uk2, uv, n_unique
 
 
@@ -101,7 +96,6 @@ def sort_compress_multi(
 ) -> Tuple[jnp.ndarray, jnp.ndarray, Tuple[jnp.ndarray, ...], jnp.ndarray]:
     """Groupby (k1, k2) -> sum of each value column (the multi-aggregate
     groupby, e.g. reference: model/count_popularity.py:61-70)."""
-    n = k1.shape[0]
     if valid is not None:
         k1 = jnp.where(valid, k1, SENTINEL)
         k2 = jnp.where(valid, k2, SENTINEL)
@@ -115,19 +109,16 @@ def sort_compress_multi(
     # segmented prefix-sums for all value columns in one fused scan
     vs = list(segmented_scan(tuple(vs), ("sum",) * len(vs), first, axis=0))
 
-    big = jnp.int32(n + 1)
-    pos = jnp.arange(n, dtype=jnp.int32)
-    (starts,) = lax.sort((jnp.where(first, pos, big),), num_keys=1)
-    next_start = _shift_left(starts, big)
-    slot_valid = starts < n
-    idx_s = jnp.minimum(starts, n - 1)
-    idx_e = jnp.minimum(jnp.minimum(next_start, n) - 1, n - 1)
-
-    uk1 = jnp.where(slot_valid, k1s[idx_s], SENTINEL)
-    uk2 = jnp.where(slot_valid, k2s[idx_s], SENTINEL)
+    # end-marker compaction via a second payload sort (no flat gathers —
+    # see sort_compress)
+    is_end = _shift_left(first, True) & (k1s != SENTINEL)
+    ck1 = jnp.where(is_end, k1s, SENTINEL)
+    ck2 = jnp.where(is_end, k2s, SENTINEL)
+    outc = lax.sort((ck1, ck2) + tuple(vs), num_keys=2)
+    uk1, uk2 = outc[0], outc[1]
     is_pad = uk1 == SENTINEL
-    uvs = [jnp.where(is_pad, jnp.zeros_like(a), a[idx_e]) for a in vs]
-    n_unique = jnp.sum(first & (k1s != SENTINEL)).astype(jnp.int32)
+    uvs = [jnp.where(is_pad, jnp.zeros_like(a), a) for a in outc[2:]]
+    n_unique = jnp.sum(is_end).astype(jnp.int32)
     return uk1, uk2, tuple(uvs), n_unique
 
 

@@ -2,18 +2,61 @@
 
 The reference's observability is manual time.time() prints and hard-coded
 ETA messages (reference: model/count_co_events.py:199-229,
-model/w2vec_aids.py:149-154, SURVEY.md §5.1). Here: a block_until_ready
+model/w2vec_aids.py:149-154, SURVEY.md §5.1). Here: an HONEST device
 timing harness with warmup (compile) separation, plus jax.profiler trace
 capture for roofline work.
+
+IMPORTANT: jax.block_until_ready is NOT a reliable sync on tunneled
+runtimes (measured on the axon v5e tunnel: it returns immediately while
+the device queue keeps draining — a 6 ms matmul "blocked" in 0.1 ms).
+The only honest sync is a host fetch of a value that depends on the
+output; `device_sync` below reduces the output pytree through one cached
+jitted checksum and pulls the scalar. The ~23 ms tunnel round-trip this
+costs is measured once by `sync_overhead` and subtracted by time_fn.
 """
 from __future__ import annotations
 
 import contextlib
 import dataclasses
+import functools
 import time
 from typing import Callable, Dict, List, Optional
 
 import jax
+import numpy as _np
+
+
+@functools.cache
+def _checksum_fn():
+    import jax.numpy as jnp
+
+    return jax.jit(
+        lambda t: sum(
+            jnp.sum(x.astype(jnp.float32)) for x in jax.tree_util.tree_leaves(t)
+        )
+    )
+
+
+def device_sync(out) -> float:
+    """Force REAL completion of `out` (and, on an in-order device queue,
+    everything enqueued before it) via a dependent-scalar host fetch."""
+    leaves = jax.tree_util.tree_leaves(out)
+    if not leaves:
+        return 0.0
+    return float(_np.asarray(_checksum_fn()(out)))
+
+
+@functools.cache
+def sync_overhead(samples: int = 5) -> float:
+    """Measured cost of one device_sync round-trip (tunnel latency)."""
+    import jax.numpy as jnp
+
+    x = jnp.zeros((4, 4))
+    device_sync(x)
+    t0 = time.perf_counter()
+    for _ in range(samples):
+        device_sync(x)
+    return (time.perf_counter() - t0) / samples
 
 
 @dataclasses.dataclass
@@ -41,18 +84,20 @@ def time_fn(
     **kwargs,
 ) -> TimingResult:
     """Time a device function: first call(s) measure compile+run, the rest
-    steady state (block_until_ready on the output pytree)."""
+    steady state. Completion is forced by device_sync (an honest
+    dependent-scalar fetch — block_until_ready does not wait on tunneled
+    runtimes); the measured tunnel round-trip is subtracted."""
+    base = sync_overhead()
     t0 = time.perf_counter()
-    out = fn(*args, **kwargs)
-    jax.block_until_ready(out)
+    device_sync(fn(*args, **kwargs))
     compile_s = time.perf_counter() - t0
     for _ in range(warmup - 1):
-        jax.block_until_ready(fn(*args, **kwargs))
+        device_sync(fn(*args, **kwargs))
     runs = []
     for _ in range(iters):
         t = time.perf_counter()
-        jax.block_until_ready(fn(*args, **kwargs))
-        runs.append(time.perf_counter() - t)
+        device_sync(fn(*args, **kwargs))
+        runs.append(max(time.perf_counter() - t - base, 0.0))
     mean = sum(runs) / len(runs)
     std = (sum((r - mean) ** 2 for r in runs) / len(runs)) ** 0.5
     return TimingResult(name, compile_s, mean, std, runs)

@@ -10,8 +10,11 @@ with the target's ranker, ordinal-rank scores desc per session, keep top-k.
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import List, Tuple
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from otto_tpu.config import RankerConfig
@@ -64,6 +67,34 @@ def downsample(
     return feats[order], labels[order], sessions[order]
 
 
+@partial(jax.jit, static_argnums=(2,))
+def _topk_program(scores: jnp.ndarray, cand: jnp.ndarray, k: int):
+    s = jnp.where(cand >= 0, scores, -jnp.inf)
+    top_s, idx = jax.lax.top_k(s, k)
+    top_a = jnp.take_along_axis(cand, idx, axis=1)
+    return top_s, jnp.where(jnp.isfinite(top_s), top_a, -1)
+
+
+def _score_batch_device(b: RetrievedBatch, ranker, top_k: int):
+    """Score + top-k fully on device; only [S, k] crosses the host link.
+
+    Batches are padded to a power-of-two session count so the compiled
+    predict/top-k program set stays tiny (the reference scores ~the whole
+    retrieved set on CPU for ~60 min, model/rank.py:27; pulling the
+    [S, C, F] feature tensors to the host instead took ~19 min per 100k
+    sessions on the tunneled link — this path takes seconds)."""
+    S, C = b.cand.shape
+    Sp = max(8, 1 << (S - 1).bit_length())
+    feats = b.feats
+    if Sp != S:
+        feats = jnp.pad(feats, ((0, Sp - S), (0, 0), (0, 0)))
+    cand = np.full((Sp, C), -1, np.int32)
+    cand[:S] = b.cand
+    scores = ranker.predict_scores_device(feats)
+    top_s, top_a = _topk_program(scores, jnp.asarray(cand), top_k)
+    return np.asarray(top_s)[:S], np.asarray(top_a)[:S]
+
+
 def score_and_topk(
     batches: List[RetrievedBatch],
     ranker: Ranker,
@@ -73,7 +104,17 @@ def score_and_topk(
     sess_out, aid_out, score_out = [], [], []
     for b in batches:
         S, C = b.cand.shape
-        scores = ranker.predict(b.feats.reshape(-1, b.feats.shape[-1]))
+        if isinstance(b.feats, jnp.ndarray) and hasattr(
+            ranker, "predict_scores_device"
+        ):
+            top_score, top_aid = _score_batch_device(b, ranker, top_k)
+            sess_out.append(b.session)
+            aid_out.append(top_aid)
+            score_out.append(top_score)
+            continue
+        scores = ranker.predict(
+            np.asarray(b.feats, np.float32).reshape(-1, b.feats.shape[-1])
+        )
         scores = scores.reshape(S, C)
         scores = np.where(b.cand >= 0, scores, -np.inf)
         order = np.argsort(-scores, axis=1, kind="stable")[:, :top_k]

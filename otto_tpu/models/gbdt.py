@@ -355,23 +355,49 @@ def _bin_program(x, edges):
 
 @partial(jax.jit, static_argnames=("n_bins",))
 def _predict_binned_program(bins, gfeat, thr, leaf, n_bins: int):
-    """bins [M, F] uint8; trees gfeat/thr [T, D, W], leaf [T, 2^D] -> [M]."""
+    """bins [M, F] uint8; trees gfeat/thr [T, D, W], leaf [T, 2^D] -> [M].
+
+    Traversal is vectorized ACROSS trees: node state is [M, T]; per level
+    the (feature, threshold) table lookups become W arithmetic selects
+    (W = 2^(D-1) is tiny) and the per-row feature-bin fetch is ONE batched
+    row gather [M, F] -> [M, T] (the Pallas vreg-gather kernel on TPU —
+    the previous scan-over-trees did T*D pathological row gathers, ~600
+    per call, which made scoring the dominant pipeline stage)."""
     bins = bins.astype(jnp.int32)
     M = bins.shape[0]
-    depth = gfeat.shape[1]
+    T, depth, W = gfeat.shape
+    n_leaves = leaf.shape[1]
 
-    def per_tree(scores, tree):
-        tf, tt, tl = tree
-        node = jnp.zeros(M, jnp.int32)
-        for level in range(depth):
-            f = tf[level][node]
-            t = tt[level][node]
-            b = jnp.take_along_axis(bins, f[:, None], axis=1)[:, 0]
-            node = node * 2 + (b >= t).astype(jnp.int32)
-        return scores + tl[node], None
+    def bytree(table_col):  # [T] -> broadcast [M, T]
+        return jnp.broadcast_to(table_col[None, :], (M, T))
 
-    scores, _ = jax.lax.scan(per_tree, jnp.zeros(M, jnp.float32), (gfeat, thr, leaf))
-    return scores
+    from otto_tpu.ops.segment import _pallas_gather_mode
+
+    mode = _pallas_gather_mode()
+    node = jnp.zeros((M, T), jnp.int32)
+    for level in range(depth):
+        gl = gfeat[:, level, :]                      # [T, W]
+        tl_ = thr[:, level, :]
+        f = jnp.zeros((M, T), jnp.int32)
+        t_thr = jnp.zeros((M, T), jnp.int32)
+        for w in range(W):                            # W tiny selects
+            hit = node == w
+            f = jnp.where(hit, bytree(gl[:, w]), f)
+            t_thr = jnp.where(hit, bytree(tl_[:, w]), t_thr)
+        if mode != "off":
+            from otto_tpu.ops.pallas.gather import gather_rows
+
+            b = gather_rows(
+                bins[None], f, block_s=32, interpret=mode == "interpret"
+            )[0]
+        else:
+            b = jnp.take_along_axis(bins, f, axis=1)
+        node = node * 2 + (b >= t_thr).astype(jnp.int32)
+
+    val = jnp.zeros((M, T), jnp.float32)
+    for l in range(n_leaves):
+        val = jnp.where(node == l, bytree(leaf[:, l]), val)
+    return val.sum(axis=1)
 
 
 @partial(jax.jit, static_argnames=("n_bins",))
@@ -396,6 +422,22 @@ class GBDTRanker:
     thr: np.ndarray          # [T, D, W] split bin threshold (n_bins = no-op)
     leaf: np.ndarray         # [T, 2^D] leaf values
     feature_names: Tuple[str, ...]
+
+    def predict_scores_device(self, feats: "jnp.ndarray") -> "jnp.ndarray":
+        """Device-resident scoring: feats [..., F] on device -> scores [...]
+        with NO host round-trip (the np predict() below pulls the feature
+        tensor through the host link — ~100 MB/batch on retrieval output)."""
+        shape = feats.shape[:-1]
+        flat = feats.reshape(-1, feats.shape[-1]).astype(jnp.float32)
+        scores = _predict_program(
+            flat,
+            jnp.asarray(self.edges),
+            jnp.asarray(self.gfeat),
+            jnp.asarray(self.thr),
+            jnp.asarray(self.leaf),
+            self.cfg.n_bins,
+        )
+        return scores.reshape(shape)
 
     def predict(self, feats: np.ndarray, batch: int = 1 << 16) -> np.ndarray:
         n = feats.shape[0]

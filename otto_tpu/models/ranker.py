@@ -85,6 +85,9 @@ def score(params: RankerParams, feats: jnp.ndarray) -> jnp.ndarray:
     return x[..., 0]
 
 
+_score_jit = jax.jit(score)
+
+
 def compute_norm_stats(feats: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     """Feature normalization stats over a training sample (after log squash)."""
     # f32 up-cast first: half-precision inputs (e.g. compacted feature
@@ -188,6 +191,12 @@ class Ranker:
     cfg: RankerConfig
     params: RankerParams
     feature_names: Tuple[str, ...]
+
+    def predict_scores_device(self, feats: jnp.ndarray) -> jnp.ndarray:
+        """Device-resident scoring: feats [..., F] on device -> scores [...]
+        with NO host round-trip (the np predict() below pulls the feature
+        tensor through the host link — ~100 MB/batch on retrieval output)."""
+        return _score_jit(self.params, feats.astype(jnp.float32))
 
     def predict(self, feats: np.ndarray, batch: int = 1 << 16) -> np.ndarray:
         out = np.empty(feats.shape[0], np.float32)

@@ -30,18 +30,19 @@ from jax.experimental.pallas import tpu as pltpu
 _LANES = 128
 
 
-def _gather_kernel(idx_ref, src_ref, out_ref, *, n_chunks: int):
+def _gather_kernel(idx_ref, src_ref, out_ref, *, n_out_chunks: int,
+                   n_src_chunks: int):
     # STATICALLY UNROLLED: the fori_loop formulation of the same algorithm
     # measured 40x slower (89 ms vs 2.2 ms for [40, 512, 2560]) — Mosaic
     # keeps the unrolled accumulator chain in registers, the loop version
-    # does not. n_chunks^2 unrolled (gather, select) pairs compile in
-    # seconds at the retrieval grid widths (n_chunks <= ~64).
-    for j in range(n_chunks):
+    # does not. n_out*n_src unrolled (gather, select) pairs compile in
+    # seconds at the retrieval grid widths (chunks <= ~64).
+    for j in range(n_out_chunks):
         idx = idx_ref[:, j * _LANES : (j + 1) * _LANES]
         hi = jax.lax.shift_right_logical(idx, 7)
         lo = jax.lax.bitwise_and(idx, _LANES - 1)
         acc = jnp.zeros(idx.shape, src_ref.dtype)
-        for c in range(n_chunks):
+        for c in range(n_src_chunks):
             g = jnp.take_along_axis(
                 src_ref[0, :, c * _LANES : (c + 1) * _LANES], lo, axis=1
             )
@@ -52,36 +53,43 @@ def _gather_kernel(idx_ref, src_ref, out_ref, *, n_chunks: int):
 @functools.partial(jax.jit, static_argnums=(2, 3))
 def gather_rows(
     values: jnp.ndarray,   # [B, S, P] stacked columns, one dtype
-    idx: jnp.ndarray,      # [S, P] int32 row-local indices in [0, P)
+    idx: jnp.ndarray,      # [S, W] int32 row-local indices in [0, P)
     block_s: int = 8,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """out[b, s, p] = values[b, s, idx[s, p]] — one kernel for B columns."""
+    """out[b, s, w] = values[b, s, idx[s, w]] — one kernel for B columns.
+    The index width W may differ from the source width P (e.g. GBDT tree
+    traversal gathers T tree-bin columns from F feature columns)."""
     B, S, P = values.shape
+    W = idx.shape[1]
     Pp = (P + _LANES - 1) // _LANES * _LANES
+    Wp = (W + _LANES - 1) // _LANES * _LANES
     Sp = (S + block_s - 1) // block_s * block_s
     v = jnp.pad(values, ((0, 0), (0, Sp - S), (0, Pp - P)))
-    # padded index lanes point at themselves (within-bounds, discarded)
-    lane = jnp.broadcast_to(jnp.arange(Pp, dtype=jnp.int32)[None, :], (Sp, Pp))
-    ix = jnp.pad(idx, ((0, Sp - S), (0, Pp - P)))
+    # padded index lanes point at lane 0 (within-bounds, discarded)
+    ix = jnp.pad(idx, ((0, Sp - S), (0, Wp - W)))
     pad_mask = (
-        (jnp.arange(Sp) >= S)[:, None] | (jnp.arange(Pp) >= P)[None, :]
+        (jnp.arange(Sp) >= S)[:, None] | (jnp.arange(Wp) >= W)[None, :]
     )
-    ix = jnp.where(pad_mask, lane, ix)
+    ix = jnp.where(pad_mask, 0, ix)
 
-    kernel = functools.partial(_gather_kernel, n_chunks=Pp // _LANES)
+    kernel = functools.partial(
+        _gather_kernel,
+        n_out_chunks=Wp // _LANES,
+        n_src_chunks=Pp // _LANES,
+    )
     out = pl.pallas_call(
         kernel,
         grid=(Sp // block_s, B),
         in_specs=[
-            pl.BlockSpec((block_s, Pp), lambda si, bi: (si, 0),
+            pl.BlockSpec((block_s, Wp), lambda si, bi: (si, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block_s, Pp), lambda si, bi: (bi, si, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, block_s, Pp), lambda si, bi: (bi, si, 0),
+        out_specs=pl.BlockSpec((1, block_s, Wp), lambda si, bi: (bi, si, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, Sp, Pp), values.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, Sp, Wp), values.dtype),
         interpret=interpret,
     )(ix, v)
-    return out[:, :S, :P]
+    return out[:, :S, :W]

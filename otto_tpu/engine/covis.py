@@ -3,21 +3,40 @@
 Drives the TPU counting pipeline end to end:
 
   events -> dedup -> length-bucketed padded session tensors
-         -> masked pair emission [S, L, L]        (otto_tpu.ops.pairs)
-         -> map-side sort-compress               (otto_tpu.ops.counts.compress_pairs)
-         -> merge into device count tables       (otto_tpu.ops.counts.merge_into)
-         -> global prune                         (otto_tpu.ops.counts.finalize)
+         -> masked pair emission, ONE type-tagged stream  (otto_tpu.ops.pairs)
+         -> log-structured merge ladder of sorted runs    (otto_tpu.ops.counts)
+         -> bounded top table (per-type in-part pruning)
+         -> per-type split -> global prune                (counts.finalize)
          -> dense top-N retrieval tables + features
 
 Replaces the reference's polars self-join + hierarchical parquet merge
 (reference: model/count_co_events.py:17-181) and the retrieval-time
 feature derivation over count files (reference: model/retrieve.py:18-63).
+
+Design (profiled on v5e): pair emission is ~5 ms per 2M-pair microbatch
+but every sort-merge against a capacity-C table costs ~C/P times that, so
+the accumulator must not touch the big table per microbatch. Two changes
+vs the naive design, worth ~5-20x at production capacity:
+
+1. The 5 count types are disjoint in (type_this, type_next)
+   (reference: config.py:81-88), so the 5 per-type pair streams collapse
+   into ONE stream with the type index packed into the key
+   (k1 = type * AID_STRIDE + aid): one sort-merge per step instead of five.
+2. Counts accumulate through a log-structured merge ladder: raw microbatch
+   streams are STORED (no per-microbatch sort at all); every `arity` runs
+   at level k merge losslessly into one level-(k+1) run of capacity
+   arity^(k+1) * P. Each pair is sorted only ~log_arity(C/P) times in
+   total, vs once against the full table per microbatch. Ladder occupancy
+   is the base-`arity` representation of the microbatch counter — pure
+   host control flow, no device sync. The top level merges into a bounded
+   table with the reference's per-type MIN_COUNT_IN_PART pruning on
+   overflow (reference: model/count_co_events.py:152-158, config.py:63).
 """
 from __future__ import annotations
 
 import logging
 from functools import partial
-from typing import Dict, NamedTuple, Optional, Sequence
+from typing import Dict, List, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -100,60 +119,38 @@ def build_retrieval_tables(table: CountTable, n_aids: int, first_n: int) -> CoVi
     return CoVisTables(nbr, cnt_t, cpop_t, ppop_t, crel_t)
 
 
-# NOTE: no donate_argnums — donated-buffer programs miss the persistent
-# compilation cache on this runtime (measured: identical program recompiled
-# 318s on rerun with donation, cached instantly without), and the copy it
-# would save is ~1ms of HBM traffic.
-@partial(jax.jit, static_argnums=(0,))
-def covis_update_step(
+# NOTE: no donate_argnums anywhere here — donated-buffer programs miss the
+# persistent compilation cache on this runtime (measured: identical program
+# recompiled 318s on rerun with donation, cached instantly without).
+@partial(jax.jit, static_argnums=(0, 1))
+def _emit_run_step(
     plan: pairs_ops.CoVisPlan,
-    tables: Tuple[CountTable, ...],
+    pad_to: int,
     aid: jnp.ndarray,
     ts: jnp.ndarray,
     type_: jnp.ndarray,
-) -> Tuple[CountTable, ...]:
-    """ONE compiled program per bucket shape: emit all 5 pair streams,
-    map-side compress each, merge into the donated accumulators. This is the
-    whole per-chunk counting stage of the reference
-    (model/count_co_events.py:91-100) as a single XLA executable."""
-    streams = pairs_ops.emit_pairs(aid, ts, type_, plan)
-    new_tables = []
-    for (fa, fb, m), table in zip(streams, tables):
-        # feed RAW pairs (count=1) straight into the merge: merge_into sorts
-        # capacity+P elements regardless, so a pre-compress pass would only
-        # add a second full sort of the same size (kept only in the sharded
-        # path, where it shrinks the all-to-all exchange volume).
-        ones = m.astype(jnp.int32)
-        ka = jnp.where(m, fa, counts_ops.SENTINEL)
-        kb = jnp.where(m, fb, counts_ops.SENTINEL)
-        new_tables.append(counts_ops.merge_into_impl(table, ka, kb, ones))
-    return tuple(new_tables)
-
-
-@jax.jit
-def _flush_stage_step(
-    tables: Tuple[CountTable, ...], stages: Tuple[CountTable, ...]
-) -> Tuple[CountTable, ...]:
-    """Merge each staging table's compressed counts into its main table."""
-    return tuple(
-        counts_ops.merge_into_impl(t, s.aid, s.aid_next, s.count)
-        for t, s in zip(tables, stages)
+) -> CountTable:
+    """Emit one microbatch's type-tagged raw pair run (NO sort — the ladder
+    sorts `arity` runs at a time). One compiled program per bucket shape."""
+    k1, k2, m = pairs_ops.emit_pairs_tagged(aid, ts, type_, plan, pad_to=pad_to)
+    return CountTable(
+        aid=jnp.where(m, k1, counts_ops.SENTINEL),
+        aid_next=jnp.where(m, k2, counts_ops.SENTINEL),
+        count=m.astype(jnp.int32),
+        n=jnp.sum(m).astype(jnp.int32),
     )
 
 
 class CoVisCounter:
     """Stateful device-side counter over streamed event chunks.
 
-    Two-level accumulation (the reference's map-side combine made explicit,
-    model/count_co_events.py:135-168): microbatch pair streams merge into a
-    small STAGING table (cheap sort of stage_capacity + pair_budget rows);
-    every `stage_factor` microbatches the staging table is flushed into the
-    full-capacity main table. A flush cadence of stage_factor guarantees the
-    staging table never overflows (each microbatch adds <= pair_budget
-    uniques), so staging is lossless. Amortized cost drops from
-    sort(capacity + P) per microbatch to sort((f+1)P) + sort(capacity+fP)/f;
-    the auto default f = isqrt(capacity/P) is the minimizer, which only
-    kicks in when capacity >> pair budget (the production regime)."""
+    `capacity` is PER COUNT TYPE (the bounded top table holds
+    capacity * n_types tagged rows — memory parity with the previous
+    5-separate-tables design). `pair_budget` P is the uniform raw-run size;
+    `arity` the ladder fan-in. Losslessness: level-k runs hold the pairs of
+    arity^k microbatches and have capacity arity^k * P >= their uniques, so
+    truncation can only happen at the bounded top (explicit, with reference
+    MIN_COUNT_IN_PART semantics) — never inside the ladder."""
 
     def __init__(
         self,
@@ -161,40 +158,63 @@ class CoVisCounter:
         capacity: Optional[int] = None,
         pair_budget: int = 1 << 21,
         bucket_lens: Sequence[int] = (8, 32, 128, 512),
-        stage_factor: Optional[int] = None,
+        arity: int = 4,
+        max_run_rows: int = 1 << 25,
     ):
         self.cfg = cfg
         self.plan = pairs_ops.make_plan(cfg)
-        self.capacity = capacity or cfg.accumulator_capacity
+        if not pairs_ops.plan_types_disjoint(self.plan):
+            raise ValueError(
+                "count types overlap in (type_this, type_next); tagged "
+                "single-stream counting requires disjoint types"
+            )
+        self.n_types = len(cfg.names)
+        self.per_type_capacity = capacity or cfg.accumulator_capacity
+        self.capacity = self.per_type_capacity * self.n_types
         self.pair_budget = pair_budget
         self.bucket_lens = tuple(bucket_lens)
-        if stage_factor is None:
-            stage_factor = max(1, int((self.capacity // pair_budget) ** 0.5))
-        self.stage_factor = stage_factor
-        self._tables: Tuple[CountTable, ...] = tuple(
-            counts_ops.empty_table(self.capacity) for _ in cfg.names
+        self.arity = arity
+        # ladder height: every extra level strictly reduces amortized sort
+        # volume (level merges cost ~2P rows/microbatch each; the top merge
+        # costs 2*(C + arity^K*P)/arity^K, shrinking as K grows), so K is
+        # bounded only by run MEMORY: pending runs total
+        # ~(arity-1) * sum_k arity^k * P rows. max_run_rows (default 32M
+        # rows = 384 MB at 12 B/row) caps the largest run.
+        levels = 0
+        while arity ** (levels + 1) * pair_budget <= max_run_rows:
+            levels += 1
+        self.n_levels = levels
+        self._runs: List[List[CountTable]] = [[] for _ in range(levels)]
+        self._top: CountTable = counts_ops.empty_table(self.capacity)
+        self._min_in_part = tuple(
+            max(1, cfg.min_count_in_part.get(name, 1)) for name in cfg.names
         )
-        self._stages: Optional[Tuple[CountTable, ...]] = None
-        self._since_flush = 0
-        if self.stage_factor > 1:
-            self.stage_capacity = self.stage_factor * pair_budget
-            self._stages = tuple(
-                counts_ops.empty_table(self.stage_capacity) for _ in cfg.names
+
+    def _push(self, level: int, run: CountTable) -> None:
+        if level >= self.n_levels:
+            self._top = counts_ops.merge_bounded_tagged(
+                self._top, run, self._min_in_part, pairs_ops.AID_STRIDE
             )
-
-    @property
-    def tables(self) -> Dict[str, CountTable]:
-        self._flush()
-        return dict(zip(self.cfg.names, self._tables))
-
-    def _flush(self) -> None:
-        if self._stages is None or self._since_flush == 0:
             return
-        self._tables = _flush_stage_step(self._tables, self._stages)
-        self._stages = tuple(
-            counts_ops.empty_table(self.stage_capacity) for _ in self.cfg.names
-        )
-        self._since_flush = 0
+        self._runs[level].append(run)
+        if len(self._runs[level]) == self.arity:
+            merged = counts_ops.merge_runs_compact(tuple(self._runs[level]))
+            self._runs[level] = []
+            self._push(level + 1, self._squeeze(merged))
+
+    def _squeeze(self, t: CountTable) -> CountTable:
+        """Slice a compacted run down to the smallest power-of-two-of-P size
+        holding its uniques. Raw pair grids are ~80-90% padding/invalid
+        lanes (dt window + session padding), so without this every ladder
+        level sorts mostly dead rows; the occupancy fetch costs one ~23 ms
+        tunnel round-trip per arity microbatches."""
+        n = int(t.n)
+        size = self.pair_budget
+        while size < n:
+            size *= 2
+        if size >= t.capacity:
+            return t
+        return counts_ops.slice_table(t, size)
 
     def update(self, events: Events) -> None:
         """Count all co-event pairs in a chunk of sessions. Sessions must be
@@ -205,21 +225,37 @@ class CoVisCounter:
             L = padded.max_len
             s_batch = pairs_ops.pair_budget_sessions(L, self.pair_budget)
             for mb in iter_microbatches(padded, s_batch):
-                target = self._stages if self._stages is not None else self._tables
-                target = covis_update_step(
+                run = _emit_run_step(
                     self.plan,
-                    target,
+                    self.pair_budget,
                     jnp.asarray(mb.aid),
                     jnp.asarray(mb.ts),
                     jnp.asarray(mb.type),
                 )
-                if self._stages is not None:
-                    self._stages = target
-                    self._since_flush += 1
-                    if self._since_flush >= self.stage_factor:
-                        self._flush()
-                else:
-                    self._tables = target
+                self._push(0, run)
+
+    def _drain(self) -> None:
+        """Fold all pending ladder runs into the bounded top table."""
+        for level in range(self.n_levels):
+            runs, self._runs[level] = self._runs[level], []
+            for run in runs:
+                self._top = counts_ops.merge_bounded_tagged(
+                    self._top, run, self._min_in_part, pairs_ops.AID_STRIDE
+                )
+
+    @property
+    def tables(self) -> Dict[str, CountTable]:
+        """Per-type untagged count tables (capacity = per_type_capacity)."""
+        self._drain()
+        out = {}
+        for i, name in enumerate(self.cfg.names):
+            out[name] = counts_ops.extract_tag(
+                self._top,
+                jnp.int32(i),
+                pairs_ops.AID_STRIDE,
+                self.per_type_capacity,
+            )
+        return out
 
     def finalize(self) -> Dict[str, CountTable]:
         """Global prune per count type (reference: model/count_co_events.py:171-175)."""

@@ -96,6 +96,121 @@ def merge_into_impl(
 merge_into = jax.jit(merge_into_impl, donate_argnums=(0,))
 
 
+def merge_runs_impl(runs: Tuple[CountTable, ...]) -> CountTable:
+    """LOSSLESS merge of sorted-or-raw runs: concat + sort + segment-sum.
+    Output capacity = sum of input capacities, so no truncation can occur
+    (the ladder invariant: a level-k run holds the pairs of arity^k
+    microbatches and is sized to fit all of them). The result is left
+    UNCOMPACTED (unique keys scattered at segment ends) — the next merge
+    re-sorts anyway, and skipping the compaction sort halves the cost."""
+    k1 = jnp.concatenate([r.aid for r in runs])
+    k2 = jnp.concatenate([r.aid_next for r in runs])
+    v = jnp.concatenate([r.count for r in runs])
+    uk1, uk2, uv, n = seg.sort_compress_ends(k1, k2, v)
+    return CountTable(uk1, uk2, uv, n)
+
+
+merge_runs = jax.jit(merge_runs_impl)
+
+
+def merge_runs_compact_impl(runs: Tuple[CountTable, ...]) -> CountTable:
+    """merge_runs with front-compaction (uniques packed at the front in key
+    order) so the result can be SLICED down to its occupancy — the squeeze
+    step that keeps ladder runs dense instead of padded."""
+    k1 = jnp.concatenate([r.aid for r in runs])
+    k2 = jnp.concatenate([r.aid_next for r in runs])
+    v = jnp.concatenate([r.count for r in runs])
+    uk1, uk2, uv, n = seg.sort_compress(k1, k2, v)
+    return CountTable(uk1, uk2, uv, n)
+
+
+merge_runs_compact = jax.jit(merge_runs_compact_impl)
+
+
+@partial(jax.jit, static_argnums=(1,))
+def slice_table(t: CountTable, size: int) -> CountTable:
+    """First `size` rows of a COMPACTED table (caller guarantees n <= size)."""
+    return CountTable(t.aid[:size], t.aid_next[:size], t.count[:size], t.n)
+
+
+def _select_by_tag(tag: jnp.ndarray, values: Tuple[int, ...]) -> jnp.ndarray:
+    """values[tag] via an arithmetic select chain (a dynamic gather on a
+    [C]-long index vector is ~100x off roofline on TPU, a 5-way select is
+    free — ARCHITECTURE.md lesson 7)."""
+    out = jnp.full(tag.shape, values[0] if values else 0, jnp.int32)
+    for i, val in enumerate(values):
+        out = jnp.where(tag == i, jnp.int32(val), out)
+    return out
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def merge_bounded_tagged(
+    table: CountTable,
+    run: CountTable,
+    min_count_in_part: Tuple[int, ...],
+    stride: int,
+) -> CountTable:
+    """Merge a run into the bounded top table of the type-tagged keyspace.
+
+    On overflow, first drop pairs below the PER-TYPE partial-aggregate
+    min-count (the reference's MIN_COUNT_IN_PART pruning applied to
+    RAM-bounded merge slices, reference: model/count_co_events.py:152-158,
+    config.py:63), then keep the top-capacity pairs by count."""
+    C = table.capacity
+    k1 = jnp.concatenate([table.aid, run.aid])
+    k2 = jnp.concatenate([table.aid_next, run.aid_next])
+    v = jnp.concatenate([table.count, run.count])
+    uk1, uk2, uv, n_unique = seg.sort_compress(k1, k2, v)
+
+    def trunc(_):
+        tag = jnp.where(uk1 == SENTINEL, 0, uk1 // stride)
+        minc = _select_by_tag(tag, min_count_in_part)
+        keep = uv >= minc
+        a = jnp.where(keep, uk1, SENTINEL)
+        b = jnp.where(keep, uk2, SENTINEL)
+        c = jnp.where(keep, uv, 0)
+        return _keep_topk_by_count(a, b, c, C)
+
+    def no_trunc(_):
+        return uk1[:C], uk2[:C], uv[:C]
+
+    a, b, c = lax.cond(n_unique > C, trunc, no_trunc, None)
+    n = jnp.sum(c[:C] > 0).astype(jnp.int32)
+    return CountTable(a, b, c, n)
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def extract_tag(table: CountTable, tag: jnp.ndarray, stride: int,
+                capacity: int) -> CountTable:
+    """Pull one count type's rows out of a tagged table into an untagged
+    CountTable of the given capacity (smallest counts dropped on overflow).
+    One compiled program reused for all tags (tag is traced)."""
+    in_tag = (table.aid != SENTINEL) & (table.aid // stride == tag)
+    a = jnp.where(in_tag, table.aid - tag * stride, SENTINEL)
+    b = jnp.where(in_tag, table.aid_next, SENTINEL)
+    c = jnp.where(in_tag, table.count, 0)
+    a, b, c = lax.sort((a, b, c), num_keys=2)
+    n_t = jnp.sum(in_tag).astype(jnp.int32)
+    C = capacity
+
+    def trunc(_):
+        return _keep_topk_by_count(a, b, c, C)
+
+    def no_trunc(_):
+        return a[:C], b[:C], c[:C]
+
+    if table.capacity <= C:
+        pad = C - table.capacity
+        return CountTable(
+            jnp.pad(a, (0, pad), constant_values=int(SENTINEL)),
+            jnp.pad(b, (0, pad), constant_values=int(SENTINEL)),
+            jnp.pad(c, (0, pad)),
+            n_t,
+        )
+    ak, bk, ck = lax.cond(n_t > C, trunc, no_trunc, None)
+    return CountTable(ak, bk, ck, jnp.minimum(n_t, C))
+
+
 @partial(jax.jit, static_argnums=(1, 2))
 def finalize(table: CountTable, min_count: int, max_pairs: int) -> CountTable:
     """Apply the global prune: count >= min_count, keep top max_pairs by count

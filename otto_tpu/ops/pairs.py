@@ -100,3 +100,80 @@ def emit_pairs(
 def pair_budget_sessions(L: int, budget_pairs: int = 1 << 22) -> int:
     """How many sessions of padded length L fit a per-batch pair budget."""
     return max(1, budget_pairs // (L * L))
+
+
+# Tag multiplier packing the count-type index into the aid key:
+# k1 = type_idx * AID_STRIDE + aid. 1 << 23 = 8.4M > the 1.8M OTTO aid space
+# (reference: README.md:9-12); 5 types * stride = 42M << int32.
+AID_STRIDE = 1 << 23
+
+
+def plan_types_disjoint(plan: CoVisPlan) -> bool:
+    """True when no (type_this, type_next) combination belongs to two count
+    types — the condition for single-stream tagged emission. Holds for the
+    reference's 5 count types (reference: config.py:81-88)."""
+    seen = set()
+    for tp in plan.types:
+        for tn in tp.types_next:
+            if (tp.type_this, tn) in seen:
+                return False
+            seen.add((tp.type_this, tn))
+    return True
+
+
+def emit_pairs_tagged(
+    aid: jnp.ndarray,       # [S, L] int32, -1 padding
+    ts: jnp.ndarray,        # [S, L] int32
+    type_: jnp.ndarray,     # [S, L] int32
+    plan: CoVisPlan,
+    pad_to: int = 0,
+):
+    """Emit ONE type-tagged flat pair stream (k1, k2, valid).
+
+    Same pair semantics as emit_pairs, but because the count types are
+    disjoint in (type_this, type_next) — assert via plan_types_disjoint —
+    each grid cell belongs to at most one type and the 5 streams collapse
+    into one with k1 = type_idx * AID_STRIDE + aid_this. Downstream this
+    makes the whole counting accumulation ONE sort-merge instead of five.
+
+    pad_to > 0 pads the flat stream to a static length (uniform ladder run
+    size across length buckets); padding lanes are invalid.
+    """
+    S, L = aid.shape
+    valid = aid >= 0
+
+    a_i = aid[:, :, None]
+    a_j = aid[:, None, :]
+    dt = ts[:, None, :] - ts[:, :, None]
+    t_i = type_[:, :, None]
+    t_j = type_[:, None, :]
+
+    not_self = ~jnp.eye(L, dtype=bool)[None, :, :]
+    base = (
+        valid[:, :, None]
+        & valid[:, None, :]
+        & not_self
+        & (dt >= plan.min_time_to_next)
+        & (dt <= plan.max_time_to_next)
+    )
+
+    adt = jnp.abs(dt)
+    tag = jnp.zeros((S, L, L), jnp.int32)
+    any_m = jnp.zeros((S, L, L), bool)
+    for idx, tp in enumerate(plan.types):
+        next_ok = jnp.zeros_like(t_j, dtype=bool)
+        for tn in tp.types_next:
+            next_ok = next_ok | (t_j == tn)
+        m = (t_i == tp.type_this) & next_ok & (adt <= tp.max_abs_dt)
+        tag = jnp.where(m, idx, tag)
+        any_m = any_m | m
+
+    m = (base & any_m).reshape(-1)
+    k1 = (tag * AID_STRIDE + jnp.broadcast_to(a_i, (S, L, L))).reshape(-1)
+    k2 = jnp.broadcast_to(a_j, (S, L, L)).reshape(-1)
+    if pad_to > S * L * L:
+        pad = pad_to - S * L * L
+        k1 = jnp.pad(k1, (0, pad))
+        k2 = jnp.pad(k2, (0, pad))
+        m = jnp.pad(m, (0, pad))
+    return k1, k2, m

@@ -88,6 +88,29 @@ def sort_compress(
     return uk1, uk2, uv, n_unique
 
 
+def sort_compress_ends(
+    k1: jnp.ndarray,
+    k2: jnp.ndarray,
+    v: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """sort_compress WITHOUT the front-compaction second sort: unique keys
+    stay scattered at their segment-END positions (other lanes carry
+    SENTINEL / 0). Half the cost of sort_compress; correct whenever the
+    consumer re-sorts anyway (e.g. intermediate merge-ladder runs, whose
+    next merge starts with a fresh sort of the concat)."""
+    k1s, k2s, vs = lax.sort((k1, k2, v), num_keys=2)
+    first = (k1s != _shift_right(k1s, NEG_SENTINEL)) | (
+        k2s != _shift_right(k2s, NEG_SENTINEL)
+    )
+    (a,) = segmented_scan((vs,), ("sum",), first, axis=0)
+    is_end = _shift_left(first, True) & (k1s != SENTINEL)
+    uk1 = jnp.where(is_end, k1s, SENTINEL)
+    uk2 = jnp.where(is_end, k2s, SENTINEL)
+    uv = jnp.where(is_end, a, jnp.zeros_like(a))
+    n_unique = jnp.sum(is_end).astype(jnp.int32)
+    return uk1, uk2, uv, n_unique
+
+
 def sort_compress_multi(
     k1: jnp.ndarray,
     k2: jnp.ndarray,

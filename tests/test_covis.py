@@ -132,23 +132,36 @@ def test_build_retrieval_tables():
     assert cpop[7, 0] == 10_000
 
 
-def test_covis_counter_staged_equals_unstaged():
-    """Two-level staged accumulation (stage_factor > 1) must be lossless:
-    exactly the same final counts as direct merging."""
+def test_covis_counter_ladder_equals_direct():
+    """The log-structured merge ladder must be lossless: exactly the same
+    final counts regardless of arity / pair budget / chunking (different
+    ladder shapes exercise run merges at several levels + the drain path)."""
     ev = make_events(300, seed=9)
     cfg = CoVisConfig()
-    direct = CoVisCounter(cfg, capacity=1 << 15, pair_budget=1 << 12,
-                          bucket_lens=(8, 32), stage_factor=1)
+    direct = CoVisCounter(cfg, capacity=1 << 15, pair_budget=1 << 14,
+                          bucket_lens=(8, 32), arity=2)
     direct.update(ev)
+    ref = {
+        name: table_to_dict(counts_ops.finalize(t, 1, 10**9))
+        for name, t in direct.tables.items()
+    }
 
-    staged = CoVisCounter(cfg, capacity=1 << 15, pair_budget=1 << 12,
-                          bucket_lens=(8, 32), stage_factor=4)
+    laddered = CoVisCounter(cfg, capacity=1 << 15, pair_budget=1 << 12,
+                            bucket_lens=(8, 32), arity=4)
     mid = ev.session < 150
-    staged.update(ev.select(mid))
-    staged.update(ev.select(~mid))  # flush boundaries interleave with chunks
-    assert staged.stage_factor == 4
-
+    laddered.update(ev.select(mid))
+    laddered.update(ev.select(~mid))  # merge boundaries interleave chunks
+    assert laddered.n_levels >= 1
     for name in cfg.names:
-        t1 = table_to_dict(counts_ops.finalize(direct.tables[name], 1, 10**9))
-        t2 = table_to_dict(counts_ops.finalize(staged.tables[name], 1, 10**9))
-        assert t1 == t2, f"staged counting diverged for {name}"
+        t2 = table_to_dict(counts_ops.finalize(laddered.tables[name], 1, 10**9))
+        assert ref[name] == t2, f"laddered counting diverged for {name}"
+
+    # reading tables mid-stream (drain) then updating more must stay exact
+    resumed = CoVisCounter(cfg, capacity=1 << 15, pair_budget=1 << 12,
+                           bucket_lens=(8, 32), arity=4)
+    resumed.update(ev.select(mid))
+    _ = resumed.tables
+    resumed.update(ev.select(~mid))
+    for name in cfg.names:
+        t3 = table_to_dict(counts_ops.finalize(resumed.tables[name], 1, 10**9))
+        assert ref[name] == t3, f"drain-resume counting diverged for {name}"

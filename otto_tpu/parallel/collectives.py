@@ -4,15 +4,23 @@ The multi-host story of the reference is Dask task shuffles
 (reference: dask_utils.py:9-32, SURVEY.md §5.8). Here the same dataflow is
 SPMD: every device counts pairs over its session shard (data parallelism ==
 the reference's chunked outer loop, model/count_co_events.py:83), then an
-ALL-TO-ALL exchanges compressed (aid, aid_next, count) triples so that each
+ALL-TO-ALL exchanges compressed (key, aid_next, count) triples so that each
 device owns the disjoint key range {aid : aid % n_shards == shard_id} — the
 hierarchical merge (model/count_co_events.py:103-181) becomes a single
 collective + local sort-compress merge, riding ICI instead of disk.
+
+Like the single-chip CoVisCounter, all 5 count types ride ONE type-tagged
+keyspace (k1 = type * AID_STRIDE + aid; the types are disjoint in
+(type_this, type_next), reference: config.py:81-88): one compress, one
+exchange and one merge per step instead of five — 5x less collective
+volume. Ownership is by the UNTAGGED aid ((k1 % AID_STRIDE) % n_shards),
+so every count type's row for an aid lives on the same shard — the layout
+retrieval-table building wants.
 """
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -23,17 +31,19 @@ from otto_tpu.ops import counts as counts_ops
 from otto_tpu.ops import pairs as pairs_ops
 from otto_tpu.ops import segment as seg
 from otto_tpu.ops.counts import CountTable
+from otto_tpu.ops.pairs import AID_STRIDE
 
 SENT = seg.SENTINEL
 
 
 def _exchange_by_owner(ua, ub, uc, n_shards: int, axis: str):
-    """Route compressed pair triples to their owner shard (aid % n_shards)
-    via all_to_all. Inputs are per-device [P] arrays (SENTINEL padded);
-    output: [n_shards * P] arrays of triples this shard owns."""
+    """Route compressed pair triples to their owner shard
+    ((k1 % AID_STRIDE) % n_shards) via all_to_all. Inputs are per-device [P]
+    arrays (SENTINEL padded); output: [n_shards * P] arrays of triples this
+    shard owns."""
     Pn = ua.shape[0]
     valid = (ua != SENT) & (uc > 0)
-    owner = jnp.where(valid, ua % n_shards, n_shards - 1)
+    owner = jnp.where(valid, (ua % AID_STRIDE) % n_shards, n_shards - 1)
 
     # sort by owner; compute within-owner position via segment starts
     owner_s, a_s, b_s, c_s = jax.lax.sort(
@@ -64,85 +74,67 @@ def make_sharded_covis_update(
     axis: str = "data",
 ):
     """Build the jitted sharded update:
-      (tables_sharded, aid [S, L], ts, type) -> tables_sharded
-    where tables_sharded rows are sharded over `axis` (each shard's rows form
-    an independent CountTable owning aid % n == shard_id) and the session
-    batch is sharded over the same axis.
-    """
+      (table_sharded, aid [S, L], ts, type) -> table_sharded
+    where the single type-tagged table's rows are sharded over `axis` (each
+    shard's rows form an independent CountTable owning
+    (k1 % AID_STRIDE) % n == shard_id) and the session batch is sharded over
+    the same axis."""
+    if not pairs_ops.plan_types_disjoint(plan):
+        raise ValueError("tagged sharded counting requires disjoint count types")
     n = mesh.shape[axis]
 
-    def per_shard(tables: Tuple[CountTable, ...], aid, ts, type_):
-        streams = pairs_ops.emit_pairs(aid, ts, type_, plan)
-        new_tables = []
-        for (fa, fb, m), table in zip(streams, tables):
-            ua, ub, uc, _ = counts_ops.compress_pairs(fa, fb, m)
-            ra, rb, rc = _exchange_by_owner(ua, ub, uc, n, axis)
-            # local combine of the received triples before the big merge
-            ca, cb, cc, _ = seg.sort_compress(ra, rb, rc)
-            # per-shard n is a length-1 vector (the sharded [n_shards] field)
-            t = table._replace(n=table.n[0])
-            t = counts_ops.merge_into_impl(t, ca, cb, cc)
-            new_tables.append(t._replace(n=t.n.reshape(1)))
-        return tuple(new_tables)
+    def per_shard(table: CountTable, aid, ts, type_):
+        k1, k2, m = pairs_ops.emit_pairs_tagged(aid, ts, type_, plan)
+        # map-side combine shrinks the all-to-all volume
+        ua, ub, uc, _ = seg.sort_compress(k1, k2, m.astype(jnp.int32))
+        ra, rb, rc = _exchange_by_owner(ua, ub, uc, n, axis)
+        # local combine of the received triples before the big merge
+        ca, cb, cc, _ = seg.sort_compress(ra, rb, rc)
+        # per-shard n is a length-1 vector (the sharded [n_shards] field)
+        t = table._replace(n=table.n[0])
+        t = counts_ops.merge_into_impl(t, ca, cb, cc)
+        return t._replace(n=t.n.reshape(1))
 
-    table_spec = CountTable(
-        aid=P(axis), aid_next=P(axis), count=P(axis), n=P(axis)
-    )
-
-    def spec_of(t):
-        return table_spec
-
-    tables_spec = None  # filled at call time by tree structure
+    table_spec = CountTable(aid=P(axis), aid_next=P(axis), count=P(axis), n=P(axis))
 
     @partial(jax.jit, donate_argnums=(0,))
-    def update(tables, aid, ts, type_):
-        n_types = len(tables)
-        in_specs = (
-            tuple(table_spec for _ in range(n_types)),
-            P(axis, None),
-            P(axis, None),
-            P(axis, None),
-        )
-        out_specs = tuple(table_spec for _ in range(n_types))
+    def update(table, aid, ts, type_):
+        in_specs = (table_spec, P(axis, None), P(axis, None), P(axis, None))
         fn = shard_map(
-            per_shard, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            per_shard, mesh=mesh, in_specs=in_specs, out_specs=table_spec,
             check_vma=False,
         )
-        return fn(tables, aid, ts, type_)
+        return fn(table, aid, ts, type_)
 
     return update
 
 
-def make_sharded_tables(n_types: int, capacity_per_shard: int, mesh: Mesh,
-                        axis: str = "data"):
-    """Allocate count tables whose rows are sharded over `axis`. The global
-    row count is n_shards * capacity_per_shard; shard k owns keys with
-    aid % n_shards == k. The per-shard `n` scalar becomes a length-n_shards
-    vector under sharding."""
+def make_sharded_table(capacity_per_shard: int, mesh: Mesh,
+                       axis: str = "data") -> CountTable:
+    """Allocate the type-tagged count table with rows sharded over `axis`.
+    The global row count is n_shards * capacity_per_shard; shard k owns keys
+    with (k1 % AID_STRIDE) % n_shards == k. The per-shard `n` scalar becomes
+    a length-n_shards vector under sharding."""
     n = mesh.shape[axis]
     sh_rows = NamedSharding(mesh, P(axis))
-
-    def alloc():
-        return CountTable(
-            aid=jax.device_put(
-                jnp.full((n * capacity_per_shard,), SENT, jnp.int32), sh_rows
-            ),
-            aid_next=jax.device_put(
-                jnp.full((n * capacity_per_shard,), SENT, jnp.int32), sh_rows
-            ),
-            count=jax.device_put(
-                jnp.zeros((n * capacity_per_shard,), jnp.int32), sh_rows
-            ),
-            n=jax.device_put(jnp.zeros((n,), jnp.int32), sh_rows),
-        )
-
-    return tuple(alloc() for _ in range(n_types))
+    return CountTable(
+        aid=jax.device_put(
+            jnp.full((n * capacity_per_shard,), SENT, jnp.int32), sh_rows
+        ),
+        aid_next=jax.device_put(
+            jnp.full((n * capacity_per_shard,), SENT, jnp.int32), sh_rows
+        ),
+        count=jax.device_put(
+            jnp.zeros((n * capacity_per_shard,), jnp.int32), sh_rows
+        ),
+        n=jax.device_put(jnp.zeros((n,), jnp.int32), sh_rows),
+    )
 
 
-def gather_table(table: CountTable) -> CountTable:
-    """Pull a sharded table to host as one merged (host-side) table: since
-    shards own disjoint key ranges, concatenation + single compress gives
-    the global counts."""
+def gather_tagged_table(table: CountTable, names) -> Dict[str, tuple]:
+    """Pull the sharded tagged table to host, split by type tag: since
+    shards own disjoint key ranges, concatenation gives the global counts.
+    Returns {count_type_name: (aid, aid_next, count)} sorted by key."""
     import numpy as np
 
     a = np.asarray(table.aid)
@@ -150,5 +142,11 @@ def gather_table(table: CountTable) -> CountTable:
     c = np.asarray(table.count)
     valid = (a != int(SENT)) & (c > 0)
     a, b, c = a[valid], b[valid], c[valid]
-    order = np.lexsort((b, a))
-    return a[order], b[order], c[order]
+    tag = a // AID_STRIDE
+    out = {}
+    for i, name in enumerate(names):
+        m = tag == i
+        ai, bi, ci = a[m] - i * AID_STRIDE, b[m], c[m]
+        order = np.lexsort((bi, ai))
+        out[name] = (ai[order], bi[order], ci[order])
+    return out

@@ -11,10 +11,11 @@ from otto_tpu.data.synthetic import SyntheticSpec, generate
 from otto_tpu.engine.covis import CoVisCounter
 from otto_tpu.ops import counts as counts_ops
 from otto_tpu.ops import pairs as pairs_ops
+from otto_tpu.ops.pairs import AID_STRIDE
 from otto_tpu.parallel.collectives import (
-    gather_table,
+    gather_tagged_table,
     make_sharded_covis_update,
-    make_sharded_tables,
+    make_sharded_table,
 )
 from otto_tpu.parallel.mesh import make_mesh
 
@@ -41,14 +42,15 @@ def test_sharded_equals_single_device():
     (padded,) = pack_sessions(ev, bucket_lens=(32,))
     (mb,) = list(iter_microbatches(padded, 256))
     update = make_sharded_covis_update(plan, mesh, axis="data")
-    tables = make_sharded_tables(len(cfg.names), 1 << 13, mesh, axis="data")
-    tables = update(
-        tables,
+    table = make_sharded_table(1 << 14, mesh, axis="data")
+    table = update(
+        table,
         jnp.asarray(mb.aid), jnp.asarray(mb.ts), jnp.asarray(mb.type),
     )
 
-    for name, table in zip(cfg.names, tables):
-        a, b, c = gather_table(table)
+    got_by_type = gather_tagged_table(table, cfg.names)
+    for name in cfg.names:
+        a, b, c = got_by_type[name]
         ref = single_final[name]
         ra = np.asarray(ref.aid)[: int(ref.n)]
         rb = np.asarray(ref.aid_next)[: int(ref.n)]
@@ -60,7 +62,7 @@ def test_sharded_equals_single_device():
 
 @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs >= 4 devices")
 def test_sharded_ownership():
-    """Each shard's rows must satisfy aid % n_shards == shard_id."""
+    """Each shard's rows must satisfy (k1 % AID_STRIDE) % n_shards == shard."""
     cfg = CoVisConfig()
     plan = pairs_ops.make_plan(cfg)
     mesh_ctx = make_mesh(jax.devices()[:4], data_parallel=4, model_parallel=1)
@@ -70,15 +72,16 @@ def test_sharded_ownership():
     (padded,) = pack_sessions(ev, bucket_lens=(16,))
     (mb,) = list(iter_microbatches(padded, 128))
     update = make_sharded_covis_update(plan, mesh, axis="data")
-    tables = make_sharded_tables(len(cfg.names), 1 << 12, mesh, axis="data")
-    tables = update(
-        tables, jnp.asarray(mb.aid), jnp.asarray(mb.ts), jnp.asarray(mb.type)
+    cap = 1 << 13
+    table = make_sharded_table(cap, mesh, axis="data")
+    table = update(
+        table, jnp.asarray(mb.aid), jnp.asarray(mb.ts), jnp.asarray(mb.type)
     )
-    cap = 1 << 12
-    t = np.asarray(tables[0].aid)
-    c = np.asarray(tables[0].count)
+    t = np.asarray(table.aid)
+    c = np.asarray(table.count)
     for shard in range(4):
         rows = t[shard * cap : (shard + 1) * cap]
         cnts = c[shard * cap : (shard + 1) * cap]
-        valid = (cnts > 0)
-        assert np.all(rows[valid] % 4 == shard)
+        valid = cnts > 0
+        assert valid.any()
+        assert np.all((rows[valid] % AID_STRIDE) % 4 == shard)

@@ -107,11 +107,22 @@ def compute_popularity(
     ts_max = int(events.ts.max()) if len(events) else 0
     ts_7d = ts_max - cfg.recent_window
 
+    # pad the event axis to a power of two: the compiled program's shape set
+    # must not depend on the exact dataset size (remote compiles cost ~40-80s
+    # per shape; the padded lanes carry aid == -1 and are masked out)
+    n = len(events.aid)
+    n_pad = max(8, 1 << (n - 1).bit_length()) if n else 8
+    pad = n_pad - n
+
+    def _p(x, fill):
+        x = np.asarray(x, np.int32)
+        return np.pad(x, (0, pad), constant_values=fill) if pad else x
+
     cand, rank_t, aid_rank = _popularity_device(
-        jnp.asarray(session_cluster.astype(np.int32)),
-        jnp.asarray(events.aid),
-        jnp.asarray(events.type.astype(np.int32)),
-        jnp.asarray(events.ts),
+        jnp.asarray(_p(session_cluster, 0)),
+        jnp.asarray(_p(events.aid, -1)),
+        jnp.asarray(_p(events.type, 0)),
+        jnp.asarray(_p(events.ts, 0)),
         jnp.int32(ts_7d),
         n_clusters,
         n_aids,

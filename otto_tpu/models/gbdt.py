@@ -69,12 +69,19 @@ def compute_bin_edges(
 
 
 def bin_features(feats: np.ndarray, edges: np.ndarray, chunk: int = 1 << 16) -> np.ndarray:
-    """[N, F] float, [F, B-1] edges -> [N, F] uint8 bin ids (edge <= x count)."""
-    n = feats.shape[0]
+    """[N, F] float, [F, B-1] edges -> [N, F] uint8 bin ids (edge <= x count).
+
+    Column-wise np.searchsorted (C binary search) instead of the dense
+    [N, F, B] comparison: binning 350k x 104 rows dropped from ~10 s to
+    ~0.5 s on the 2-core host — this runs once per ranker model so the
+    uint8 bins (not the 4x-bigger floats) can cross the host->device link.
+    """
+    n, f = feats.shape
     out = np.empty(feats.shape, np.uint8)
-    for i in range(0, n, chunk):
-        x = feats[i : i + chunk]
-        out[i : i + chunk] = (x[:, :, None] >= edges[None, :, :]).sum(-1)
+    for j in range(f):
+        out[:, j] = np.searchsorted(
+            edges[j], feats[:, j].astype(np.float32), side="right"
+        ).astype(np.uint8)
     return out
 
 
@@ -221,10 +228,22 @@ def _build_tree(bins_sub, grad, hess, cnt, cfg: GBDTConfig, axis_name=None):
         feat_arr = feat_arr.at[level].set(bf)
         thr_arr = thr_arr.at[level].set(thr)
 
-        row_bin = jnp.take_along_axis(bins_sub, bf[node][:, None], axis=1)[
-            :, 0
-        ].astype(jnp.int32)
-        node = node * 2 + (row_bin >= thr[node]).astype(jnp.int32)
+        # route rows: row_bin = bins_sub[n, bf[node[n]]], thr_n = thr[node[n]].
+        # NO dynamic gathers (a [N, Fs] take_along_axis is ~100x off roofline
+        # on v5e, ARCHITECTURE.md lesson 7): the per-node (feature, threshold)
+        # tables are W-way arithmetic selects, and the per-row feature fetch
+        # is a one-hot masked reduction over the Fs columns (pure VPU).
+        fcol = jnp.zeros(N, jnp.int32)
+        thr_n = jnp.zeros(N, jnp.int32)
+        for w in range(W):
+            hit = node == w
+            fcol = jnp.where(hit, bf[w], fcol)
+            thr_n = jnp.where(hit, thr[w], thr_n)
+        col_ids = jnp.arange(bins_sub.shape[1], dtype=jnp.int32)[None, :]
+        row_bin = jnp.sum(
+            jnp.where(col_ids == fcol[:, None], bins_sub, 0), axis=1
+        )
+        node = node * 2 + (row_bin >= thr_n).astype(jnp.int32)
 
     leaf_onehot = (node[:, None] == jnp.arange(n_leaves)[None, :]).astype(
         jnp.bfloat16
@@ -299,11 +318,22 @@ def _train_core(bins, labels_g, mask_g, cfg: GBDTConfig, axis_name=None):
         grad, hess = grads_for(scores.reshape(NG, G))
         cnt = mask_g.reshape(NG * G).astype(jnp.float32) * bag
         grad, hess = grad * bag, hess * bag
-        bins_sub = jnp.take(bins, feat_idx, axis=1)                # [N, Fs]
+        # column subsample via one-hot MATMUL, not take(): a [N, Fs] dynamic
+        # column gather per tree was the dominant training cost (~100x off
+        # roofline). Bin ids < 256 are exact in bf16.
+        sel = (feat_idx[None, :] == jnp.arange(F)[:, None]).astype(jnp.bfloat16)
+        bins_sub = jax.lax.dot(
+            bins.astype(jnp.bfloat16), sel,
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.int32)                                        # [N, Fs]
         feat_l, thr, leaf, node = _build_tree(
             bins_sub, grad, hess, cnt, cfg, axis_name
         )
-        scores = scores + leaf[node]
+        # leaf[node] as a 2^D-way select (flat 1-D gathers are pathological)
+        add = jnp.zeros(N, jnp.float32)
+        for l in range(leaf.shape[0]):
+            add = jnp.where(node == l, leaf[l], add)
+        scores = scores + add
         gfeat = feat_idx[feat_l]                                   # global ids
         return scores, (gfeat, thr, leaf)
 
@@ -440,20 +470,24 @@ class GBDTRanker:
         return scores.reshape(shape)
 
     def predict(self, feats: np.ndarray, batch: int = 1 << 16) -> np.ndarray:
+        """Host-array scoring: bin on host, ship uint8 (4x less tunnel
+        traffic than f32 features — the link, not the chip, is the cost)."""
         n = feats.shape[0]
         out = np.empty(n, np.float32)
-        ed, tf, tt, tl = (
-            jnp.asarray(self.edges),
+        bins = bin_features(np.asarray(feats, np.float32), self.edges)
+        tf, tt, tl = (
             jnp.asarray(self.gfeat),
             jnp.asarray(self.thr),
             jnp.asarray(self.leaf),
         )
         for i in range(0, n, batch):
-            x = np.asarray(feats[i : i + batch], np.float32)
+            x = bins[i : i + batch]
             if x.shape[0] < batch and n > batch:
                 x = np.pad(x, ((0, batch - x.shape[0]), (0, 0)))  # one shape
             out[i : i + batch] = np.asarray(
-                _predict_program(jnp.asarray(x), ed, tf, tt, tl, self.cfg.n_bins)
+                _predict_binned_program(
+                    jnp.asarray(x), tf, tt, tl, self.cfg.n_bins
+                )
             )[: n - i]
         return out
 
@@ -514,7 +548,12 @@ def train_gbdt_ranker(
 
     log = logging.getLogger(__name__)
     edges = compute_bin_edges(feats, cfg.n_bins, seed=cfg.seed)
-    fg, lg, mg = _group_pad(feats, labels, group_sessions, cfg.max_group)
+    # bin on host and ship uint8: the tunneled host->device link is the
+    # bottleneck of the whole training path (measured 491 MB of padded f32
+    # features = ~58 s/model vs ~22 s of actual boosting); uint8 bins are
+    # 4x smaller and binning via searchsorted costs <1 s
+    bins_flat = bin_features(feats, edges)
+    fg, lg, mg = _group_pad(bins_flat, labels, group_sessions, cfg.max_group)
     NG, G, F = fg.shape
     # grouped-flat rows; pad group count so the lambda chunk loop tiles
     # exactly (and splits evenly across mesh shards when data-parallel)
@@ -522,7 +561,7 @@ def train_gbdt_ranker(
     fg = _pad_axis0(fg, ng_mult)
     lg = _pad_axis0(lg, ng_mult)
     mg = _pad_axis0(mg, ng_mult)
-    bins = _bin_program(jnp.asarray(fg.reshape(-1, F)), jnp.asarray(edges))
+    bins = jnp.asarray(fg.reshape(-1, F))
 
     if mesh is not None:
         gfeat, thr, leaf, _ = _train_program_dp(

@@ -298,7 +298,10 @@ def _group_pad(feats, labels, sessions, max_group):
     pos = np.arange(len(s_s)) - starts[gi]
     keep = pos < max_group
     F = feats.shape[1]
-    fg = np.zeros((n_g, max_group, F), np.float32)
+    # keep the caller's feature dtype (uint8 bins / f16 caches pad as-is —
+    # padding a 4x-bigger f32 copy was pure host + link waste)
+    fdt = feats.dtype if feats.dtype in (np.uint8, np.float16) else np.float32
+    fg = np.zeros((n_g, max_group, F), fdt)
     lg = np.zeros((n_g, max_group), np.float32)
     mg = np.zeros((n_g, max_group), bool)
     fg[gi[keep], pos[keep]] = f_s[keep]

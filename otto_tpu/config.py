@@ -150,6 +150,14 @@ class Word2VecConfig:
     # 'device': on-device pair sampling (sessions upload once, preferred at
     # scale); 'host': numpy pair generation streamed per epoch.
     sampler: str = "device"
+    # Negative sampling strategy: 'pair' draws `negatives` fresh per
+    # positive (gensim parity, reference: model/w2vec_aids.py:63); 'chunk'
+    # shares a drawn pool within 256-pair chunks — the negative tower then
+    # runs as MXU matmuls with a tiny scatter (~2x faster per step at 2M
+    # vocab) at a measurable embedding-quality cost on SMALL corpora
+    # (w2v-source retrieval recall dropped ~2pts at 4k sessions). Use
+    # 'chunk' for production-scale corpora only.
+    neg_sharing: str = "pair"
 
     # kNN retrieval over the trained table (reference: config.py:109,124-125).
     knn_k: int = 20

@@ -138,6 +138,14 @@ sgns_step_ref = sgns_step
 # (the gensim path re-reads all sentences per epoch,
 # reference: model/w2vec_aids.py:62-63).
 # ---------------------------------------------------------------------------
+# negatives are shared within chunks of this many pairs (not per pair, not
+# across the whole batch): per-pair scatters dominated the step cost, while
+# batch-global sharing correlated the updates enough to hurt embedding
+# quality at small scale. Each chunk draws n_negs * _SHARED_NEG_FACTOR ids.
+_NEG_CHUNK = 64
+_SHARED_NEG_FACTOR = 8
+
+
 def _sgns_step_body(
     params: SGNSParams,
     words: jnp.ndarray,      # [S, L] int32 word ids, -1 pad
@@ -149,6 +157,7 @@ def _sgns_step_body(
     window: int,
     n_negs: int,
     key: jnp.ndarray,
+    neg_mode: str = "pair",
 ) -> Tuple[SGNSParams, jnp.ndarray]:
     S, L = words.shape
     total = cum_len[-1]
@@ -184,6 +193,75 @@ def _sgns_step_body(
     keep = (su[:, 0] < keep_prob[c_safe]) & (su[:, 1] < keep_prob[x_safe])
     valid = valid & keep
 
+    if neg_mode == "chunk":
+        # SPARSE step, negatives SHARED within Bc-pair chunks: gather the
+        # touched rows, compute the gradients by hand, scatter-add them
+        # back — the negative tower is MXU matmul work + a small scatter.
+        # 3.6 ms/step at V=2M vs 16 ms for the dense step below (which
+        # streams the full [V, D] table 3x). The trade-off: fewer fresh
+        # negative draws per step measurably weakens embeddings on SMALL
+        # corpora (few total steps), so this is the opt-in production mode
+        # (see Word2VecConfig.neg_sharing).
+        Bc = min(_NEG_CHUNK, batch)
+        Nc = max(1, batch // Bc)
+        Ks = n_negs * _SHARED_NEG_FACTOR
+        un = jax.random.uniform(k6, (Nc, Ks))
+        negs = jnp.searchsorted(neg_cdf, un).astype(jnp.int32)     # [Nc, Ks]
+        negs_f = negs.reshape(-1)
+
+        # one fused gather / one fused scatter per table (chained .at[]
+        # calls each cost a separate scatter pass)
+        ids_out = jnp.concatenate([x_safe, negs_f])
+        rows_out = params.emb_out[ids_out]        # [B + Nc*Ks, D]
+        c = params.emb_in[c_safe]                 # [B, D]
+        pv = rows_out[:batch]                     # [B, D]
+        D = c.shape[-1]
+        vf = valid.astype(jnp.float32)
+        pos_logit = jnp.sum(c * pv, axis=-1)      # [B]
+        # d/dz of -log_sigmoid(z) = sigmoid(z)-1; of -log_sigmoid(-z) = sigmoid(z)
+        d_pos = (jax.nn.sigmoid(pos_logit) - 1.0) * vf
+        n = rows_out[batch:].reshape(Nc, Ks, D)
+        cc = c.reshape(Nc, Bc, D)
+        vc = vf.reshape(Nc, Bc)
+        neg_logit = jnp.einsum("nbd,nkd->nbk", cc, n)              # [Nc, Bc, Ks]
+        # averaged over the pool so the positive:negative gradient balance
+        # matches per-pair SGNS with n_negs draws
+        neg_w = jnp.float32(n_negs) / jnp.float32(Ks)
+        d_neg = jax.nn.sigmoid(neg_logit) * (vc[:, :, None] * neg_w)
+        g_c = d_pos[:, None] * pv + jnp.einsum(
+            "nbk,nkd->nbd", d_neg, n
+        ).reshape(-1, D)
+        g_n = jnp.einsum("nbk,nbd->nkd", d_neg, cc)                # [Nc, Ks, D]
+        g_pv = d_pos[:, None] * c
+        g_out = jnp.concatenate([g_pv, g_n.reshape(-1, D)])
+
+        # per-row Adagrad with pre-update accumulators (duplicate ids in a
+        # batch see slightly stale scales — the batched analogue of gensim's
+        # intentionally racy hogwild updates, reference: model/w2vec_aids.py:63)
+        gsq_c = jnp.mean(g_c**2, axis=1)
+        gsq_out = jnp.mean(g_out**2, axis=1)
+        scale_c = lr * jax.lax.rsqrt(params.acc_in[c_safe] + gsq_c + 1e-8)
+        scale_out = lr * jax.lax.rsqrt(params.acc_out[ids_out] + gsq_out + 1e-8)
+        new = SGNSParams(
+            emb_in=params.emb_in.at[c_safe].add(-scale_c[:, None] * g_c),
+            emb_out=params.emb_out.at[ids_out].add(-scale_out[:, None] * g_out),
+            acc_in=params.acc_in.at[c_safe].add(gsq_c),
+            acc_out=params.acc_out.at[ids_out].add(gsq_out),
+        )
+        per_pair = -jax.nn.log_sigmoid(pos_logit) - neg_w * jnp.sum(
+            jax.nn.log_sigmoid(-neg_logit), axis=-1
+        ).reshape(-1)
+        loss = jnp.sum(jnp.where(valid, per_pair, 0.0))
+        n_valid = jnp.maximum(jnp.sum(valid), 1)
+        return new, loss / n_valid.astype(jnp.float32)
+
+    # 'pair' (default): per-pair negatives with DENSE autodiff grads and
+    # whole-table Adagrad — the quality-reference path (gensim-parity
+    # stochastic dynamics, reference: model/w2vec_aids.py:63). Costs ~16 ms
+    # per step at V=2M regardless of batch size (3 full-table passes), so
+    # large batches amortize it; a hand-written sparse per-pair variant was
+    # NOT faster (the [B*K, D] scatter/gather rows cost the same) and its
+    # per-occurrence Adagrad measurably hurt retrieval recall.
     un = jax.random.uniform(k6, (batch, n_negs))
     negs = jnp.searchsorted(neg_cdf, un).astype(jnp.int32)
 
@@ -214,7 +292,7 @@ def _sgns_step_body(
 
 
 sgns_step_device_sampled = partial(
-    jax.jit, static_argnums=(6, 7, 8)
+    jax.jit, static_argnums=(6, 7, 8, 10)
 )(_sgns_step_body)
 
 
@@ -322,7 +400,7 @@ class Word2Vec:
 # no donate_argnums: donated-buffer programs miss the persistent compile
 # cache on this runtime (see engine/covis.py note); the epoch-boundary param
 # copy is trivial next to minutes of recompile.
-@partial(jax.jit, static_argnums=(6, 7, 8, 9))
+@partial(jax.jit, static_argnums=(6, 7, 8, 9, 11))
 def sgns_epoch_device(
     params: SGNSParams,
     words: jnp.ndarray,
@@ -335,6 +413,7 @@ def sgns_epoch_device(
     n_negs: int,
     n_steps: int,
     key: jnp.ndarray,
+    neg_mode: str = "pair",
 ) -> Tuple[SGNSParams, jnp.ndarray]:
     """n_steps SGNS updates in ONE dispatch (lax.fori_loop): host-device
     round-trips per step dominate wall clock on tunneled/remote runtimes."""
@@ -344,7 +423,7 @@ def sgns_epoch_device(
         sub = jax.random.fold_in(key, i)
         return _sgns_step_body(
             params, words, cum_len, neg_cdf, keep_prob, lr,
-            batch, window, n_negs, sub,
+            batch, window, n_negs, sub, neg_mode,
         )
 
     return lax.fori_loop(
@@ -429,6 +508,7 @@ def train_word2vec_device(
             params, words_d, cum_d, neg_cdf, keep_prob_d,
             jnp.float32(cfg.learning_rate),
             cfg.batch_size, cfg.window, cfg.negatives, steps_per_epoch, sub,
+            getattr(cfg, "neg_sharing", "pair"),
         )
         log.info("w2v[device] %s epoch %d: %d steps, loss=%.4f",
                  cfg.name, epoch, steps_per_epoch, float(loss))

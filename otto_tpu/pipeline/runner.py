@@ -184,9 +184,14 @@ class Pipeline:
         self._log("kmeans", t0)
 
         # ---- C12 popularity ----------------------------------------------
-        ev_cluster = np.array(
-            [cl_of_session.get(int(s), 0) for s in full.session], np.int32
-        )
+        # vectorized session->cluster join (a python dict loop over the
+        # event table costs tens of seconds at 10^7 events on the 2-core
+        # host); sess_ids is sorted by construction
+        cl_arr = np.asarray(cl_labels, np.int32)
+        pos = np.searchsorted(sess_ids, full.session)
+        pos_c = np.clip(pos, 0, len(sess_ids) - 1)
+        hit = sess_ids[pos_c] == full.session
+        ev_cluster = np.where(hit, cl_arr[pos_c], 0).astype(np.int32)
         pop50 = compute_popularity(
             full, ev_cluster, n_clusters, self.n_aids, cfg.popularity
         )

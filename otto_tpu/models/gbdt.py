@@ -354,7 +354,7 @@ def _train_program_dp(bins, labels_g, mask_g, cfg: GBDTConfig, mesh, axis: str):
     sharded along `axis`; trees come back replicated. The dp analogue of the
     reference's DaskLGBMRanker(tree_learner_type='data_parallel')
     (reference: model/train_lgbm_rankers.py:110-116)."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     fn = shard_map(
@@ -362,7 +362,7 @@ def _train_program_dp(bins, labels_g, mask_g, cfg: GBDTConfig, mesh, axis: str):
         mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis)),
         out_specs=(P(), P(), P(), P(axis)),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(fn)(bins, labels_g, mask_g)
 

@@ -57,7 +57,7 @@ def gather_rows_hbm(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(Np // block_n,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (block_n, D), lambda i, ids: (i, 0), memory_space=pltpu.VMEM
         ),

@@ -139,7 +139,7 @@ def test_gbdt_dp_histogram_reduction_exact():
     import jax
     import jax.numpy as jnp
     from functools import partial as _partial
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     from otto_tpu.models.gbdt import _histograms
@@ -154,7 +154,7 @@ def test_gbdt_dp_histogram_reduction_exact():
     fn = shard_map(
         _partial(_histograms, n_bins=bins, row_chunk=64, axis_name="data"),
         mesh=ctx.mesh, in_specs=(P("data"), P("data")), out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )
     h = np.asarray(jax.jit(fn)(jnp.asarray(bn), jnp.asarray(ghc)))
     for fi in range(f):

@@ -22,6 +22,42 @@ from otto_tpu.engine.retrieval import RetrievedBatch
 from otto_tpu.models.ranker import Ranker
 
 
+def downsample_batch(
+    b: RetrievedBatch,
+    tgt: np.ndarray,                # [S, C, 3]
+    type_id: int,
+    cfg: RankerConfig,
+    rng: np.random.Generator,
+) -> "Tuple[np.ndarray, np.ndarray, np.ndarray] | None":
+    """One batch of the downsampler; returns (feats, labels, sessions) flat
+    rows or None when no session in the batch has a positive. Consumes rng
+    draws only in the positive case, so feeding batches through per-type rng
+    streams reproduces the all-at-once `downsample` selection exactly."""
+    S, C = b.cand.shape
+    valid = b.cand >= 0
+    y = tgt[:, :, type_id]
+    n_pos = (y * valid).sum(axis=1)
+    keep_sessions = n_pos > 0
+    if not keep_sessions.any():
+        return None
+    max_neg = np.minimum(
+        n_pos * cfg.neg_to_pos_ratio, cfg.max_neg_per_session
+    )
+    # random priority per negative; keep the max_neg smallest
+    prio = rng.random((S, C))
+    neg_mask = valid & (y == 0)
+    # rank of each negative within its session by priority
+    order = np.argsort(np.where(neg_mask, prio, 2.0), axis=1, kind="stable")
+    rank = np.empty_like(order)
+    np.put_along_axis(rank, order, np.arange(C)[None, :].repeat(S, 0), axis=1)
+    keep_neg = neg_mask & (rank < max_neg[:, None])
+    keep = (valid & (y > 0)) | keep_neg
+    keep &= keep_sessions[:, None]
+    si, ci = np.nonzero(keep)
+    # device-side row gather -> only the selected rows cross the link
+    return b.feats_rows(si, ci), y[si, ci], b.session[si]
+
+
 def downsample(
     batches: List[RetrievedBatch],
     targets: List[np.ndarray],      # [S, C, 3] aligned with batches
@@ -33,31 +69,12 @@ def downsample(
     rng = np.random.default_rng(seed)
     feats_out, lab_out, sess_out = [], [], []
     for b, tgt in zip(batches, targets):
-        S, C = b.cand.shape
-        valid = b.cand >= 0
-        y = tgt[:, :, type_id]
-        n_pos = (y * valid).sum(axis=1)
-        keep_sessions = n_pos > 0
-        if not keep_sessions.any():
+        got = downsample_batch(b, tgt, type_id, cfg, rng)
+        if got is None:
             continue
-        max_neg = np.minimum(
-            n_pos * cfg.neg_to_pos_ratio, cfg.max_neg_per_session
-        )
-        # random priority per negative; keep the max_neg smallest
-        prio = rng.random((S, C))
-        neg_mask = valid & (y == 0)
-        # rank of each negative within its session by priority
-        order = np.argsort(np.where(neg_mask, prio, 2.0), axis=1, kind="stable")
-        rank = np.empty_like(order)
-        np.put_along_axis(rank, order, np.arange(C)[None, :].repeat(S, 0), axis=1)
-        keep_neg = neg_mask & (rank < max_neg[:, None])
-        keep = (valid & (y > 0)) | keep_neg
-        keep &= keep_sessions[:, None]
-        si, ci = np.nonzero(keep)
-        # device-side row gather -> only the selected rows cross the link
-        feats_out.append(b.feats_rows(si, ci))
-        lab_out.append(y[si, ci])
-        sess_out.append(b.session[si])
+        feats_out.append(got[0])
+        lab_out.append(got[1])
+        sess_out.append(got[2])
     if not feats_out:
         raise ValueError(f"no positive sessions for type {type_id}")
     feats = np.concatenate(feats_out)

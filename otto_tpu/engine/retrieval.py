@@ -704,6 +704,21 @@ class Retriever:
         keep_aids: Optional[int] = None,
         max_candidates: Optional[int] = None,
     ) -> List[RetrievedBatch]:
+        """Retrieve everything into one list. Holds EVERY batch's [S, C, F]
+        device feature tensor alive at once — fine up to ~50k test sessions
+        on a 16 GB chip; for larger runs use iter_run (streaming) so each
+        batch's features are freed after consumption."""
+        return list(
+            self.iter_run(test, batch_sessions, keep_aids, max_candidates)
+        )
+
+    def iter_run(
+        self,
+        test: Events,
+        batch_sessions: int = 256,
+        keep_aids: Optional[int] = None,
+        max_candidates: Optional[int] = None,
+    ):
         keep_aids = keep_aids or self.cfg.max_session_aids
         max_candidates = max_candidates or self.cfg.max_candidates
         trim = jnp.asarray(
@@ -716,7 +731,6 @@ class Retriever:
             jnp.float32,
         )
         D = self.ctx.aid_emb.shape[1]
-        out: List[RetrievedBatch] = []
         for p in pack_sessions(test, self.cfg.session_len_buckets):
             log.debug(
                 "retrieve bucket L=%d: %d sessions", p.aid.shape[1], p.n_sessions
@@ -747,18 +761,15 @@ class Retriever:
                     max_candidates,
                 )
                 keep = mb.session >= 0
-                out.append(
-                    RetrievedBatch(
-                        session=mb.session[keep],
-                        cand=np.asarray(cand)[keep],
-                        # feats stay device-resident; padding rows sliced
-                        # lazily by consumers via the host-side `keep` index
-                        feats=feats if bool(keep.all())
-                        else feats[jnp.asarray(np.nonzero(keep)[0])],
-                        ts_order=np.asarray(ts_order)[keep],
-                    )
+                yield RetrievedBatch(
+                    session=mb.session[keep],
+                    cand=np.asarray(cand)[keep],
+                    # feats stay device-resident; padding rows sliced
+                    # lazily by consumers via the host-side `keep` index
+                    feats=feats if bool(keep.all())
+                    else feats[jnp.asarray(np.nonzero(keep)[0])],
+                    ts_order=np.asarray(ts_order)[keep],
                 )
-        return out
 
 
 def join_labels(

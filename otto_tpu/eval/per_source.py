@@ -23,7 +23,27 @@ SOURCES = (
 )
 
 
-def _masked_cands(batches: List[RetrievedBatch], mask_fn):
+class SrcFlagBatch:
+    """Lightweight stand-in for RetrievedBatch carrying only what the
+    per-source report needs: the [S, C, len(SOURCES)] source-flag bits.
+    Streaming runs extract this per batch (one device slice, ~2.6 MB host)
+    instead of keeping the full [S, C, F] feature tensor alive."""
+
+    __slots__ = ("session", "cand", "flags")
+
+    def __init__(self, session, cand, flags):
+        self.session, self.cand, self.flags = session, cand, flags
+
+    @classmethod
+    def from_batch(cls, b: RetrievedBatch) -> "SrcFlagBatch":
+        import jax.numpy as jnp
+
+        idx = jnp.asarray([FEATURE_INDEX[s] for s in SOURCES])
+        flags = np.asarray(b.feats[:, :, idx] > 0)
+        return cls(b.session, b.cand, flags)
+
+
+def _masked_cands(batches, mask_fn):
     sess, cands = [], []
     for b in batches:
         m = mask_fn(b)
@@ -32,7 +52,9 @@ def _masked_cands(batches: List[RetrievedBatch], mask_fn):
     return np.concatenate(sess), np.concatenate(cands)
 
 
-def _src(b: RetrievedBatch, name: str) -> np.ndarray:
+def _src(b, name: str) -> np.ndarray:
+    if isinstance(b, SrcFlagBatch):
+        return b.flags[:, :, SOURCES.index(name)]
     return b.feats[:, :, FEATURE_INDEX[name]] > 0
 
 

@@ -78,7 +78,11 @@ def cmd_run(args) -> int:
         cfg=DEFAULT, work_dir=args.work_dir, n_aids=n_aids,
         use_cache=not args.no_cache,
     )
-    metrics = pipe.run(train, test, labels, batch_sessions=args.batch_sessions)
+    streaming = args.streaming or (
+        not args.no_streaming and len(np.unique(test.session)) > 50_000
+    )
+    runner = pipe.run_streaming if streaming else pipe.run
+    metrics = runner(train, test, labels, batch_sessions=args.batch_sessions)
     print(json.dumps(metrics, indent=2))
     return 0
 
@@ -124,8 +128,10 @@ def cmd_run_synthetic(args) -> int:
         n_sessions=args.sessions, n_aids=args.aids, seed=args.seed
     )
     cfg = _tiny_config() if args.tiny else DEFAULT
+    streaming = True if args.streaming else (None if not args.no_streaming else False)
     metrics = run_synthetic(
-        cfg, args.work_dir, spec, batch_sessions=args.batch_sessions
+        cfg, args.work_dir, spec, batch_sessions=args.batch_sessions,
+        streaming=streaming,
     )
     print(json.dumps(metrics, indent=2))
     return 0
@@ -160,6 +166,11 @@ def main(argv=None) -> int:
     p.add_argument("--test", required=True)
     p.add_argument("--labels")
     p.add_argument("--batch-sessions", type=int, default=256)
+    p.add_argument("--streaming", action="store_true",
+                   help="two-pass streaming runner (O(one batch) device "
+                        "feature memory; auto past 50k test sessions)")
+    p.add_argument("--no-streaming", action="store_true",
+                   help="force the batch runner")
     _add_common(p)
     p.set_defaults(fn=cmd_run)
 
@@ -170,6 +181,11 @@ def main(argv=None) -> int:
     p.add_argument("--batch-sessions", type=int, default=256)
     p.add_argument("--tiny", action="store_true",
                    help="small-model config (fast CPU demo)")
+    p.add_argument("--streaming", action="store_true",
+                   help="two-pass streaming runner (O(one batch) device "
+                        "feature memory; auto past 50k test sessions)")
+    p.add_argument("--no-streaming", action="store_true",
+                   help="force the batch runner")
     _add_common(p)
     p.set_defaults(fn=cmd_run_synthetic)
 

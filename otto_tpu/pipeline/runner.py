@@ -91,16 +91,96 @@ class Pipeline:
             self.rank_and_eval(batches, targets, labels, metrics)
         return metrics
 
-    def retrieve_with_features(
+    def run_streaming(
         self,
         train: Events,
         test: Events,
         labels: Optional[Labels] = None,
-        batch_sessions: int = 256,
-    ):
-        """Stages C7-C14: stats/embeddings/clusters/popularity -> fused
-        retrieval + features -> retrieval-ceiling eval. Returns
-        (batches, targets, metrics); targets is None without labels."""
+        batch_sessions: int = 512,
+    ) -> Dict[str, float]:
+        """Full pipeline at scale: identical metrics to run(), O(one batch)
+        device feature memory. run() keeps every retrieval batch's
+        [S, C, F] tensor resident (~200 KB/session — past ~50k test
+        sessions that exceeds a 16 GB chip); here the candidate store is
+        consumed as a stream instead:
+
+          pass A: retrieve -> per-batch label join + negative downsample
+                  (small selected-row gathers cross the link), src-flag
+                  slice for the per-source report, ceiling-eval ids;
+          train : 3 rankers from the accumulated downsampled rows;
+          pass B: re-retrieve -> score + top-20 on device ([S, 20] pulls).
+
+        Re-retrieval costs one extra pass through the (compile-cached)
+        retrieval program — far cheaper than spilling the feature tensors
+        over the host link (measured ~19 min per 100k sessions pulled vs
+        ~12 s re-retrieved)."""
+        t0 = time.time()
+        cfg = self.cfg
+        retriever = self.build_retriever(train, test)
+
+        from otto_tpu.eval.per_source import SrcFlagBatch
+
+        rngs = {t: np.random.default_rng(42) for t in TYPES}
+        rows = {t: [] for t in TYPES}    # downsampled (feats, y, sess)
+        sess_acc, cand_acc, flag_batches = [], [], []
+        n_sessions = 0
+        for b in retriever.iter_run(test, batch_sessions=batch_sessions):
+            n_sessions += len(b.session)
+            sess_acc.append(b.session)
+            cand_acc.append(b.cand)
+            if labels is None:
+                continue
+            tgt = join_labels([b], labels)[0]
+            flag_batches.append(SrcFlagBatch.from_batch(b))
+            for tname in TYPES:
+                got = rank_engine.downsample_batch(
+                    b, tgt, TYPE2ID[tname], cfg.ranker, rngs[tname]
+                )
+                if got is not None:
+                    rows[tname].append(got)
+        self._log("retrieve+downsample (pass A)", t0, f"{n_sessions} sessions")
+
+        metrics: Dict[str, float] = {}
+        if labels is None:
+            return metrics
+        metrics = self._eval_retrieved(
+            np.concatenate(sess_acc), np.concatenate(cand_acc),
+            flag_batches, labels, t0,
+        )
+        del flag_batches, sess_acc, cand_acc
+
+        rankers: Dict[str, object] = {}
+        for tname in TYPES:
+            def rows_fn(tname=tname):
+                if not rows[tname]:
+                    raise ValueError(f"no positive sessions for {tname}")
+                feats = np.concatenate([r[0] for r in rows[tname]])
+                y = np.concatenate([r[1] for r in rows[tname]])
+                sess = np.concatenate([r[2] for r in rows[tname]])
+                rows[tname] = None  # free
+                order = np.argsort(sess, kind="stable")
+                return feats[order], y[order], sess[order]
+            rankers[tname] = self._train_ranker_cached(tname, rows_fn, t0)
+
+        # pass B: stream again, score all 3 targets per batch on device
+        pieces = {t: ([], []) for t in TYPES}
+        for b in retriever.iter_run(test, batch_sessions=batch_sessions):
+            for tname in TYPES:
+                s, a, _ = rank_engine.score_and_topk([b], rankers[tname])
+                pieces[tname][0].append(s)
+                pieces[tname][1].append(a)
+        preds = {}
+        for tname in TYPES:
+            s = np.concatenate(pieces[tname][0])
+            a = np.concatenate(pieces[tname][1])
+            order = np.argsort(s, kind="stable")
+            preds[tname] = (s[order], a[order])
+        self._log("score (pass B)", t0)
+        return self._submit_and_eval(preds, labels, metrics, t0)
+
+    def build_retriever(self, train: Events, test: Events) -> "Retriever":
+        """Stages C7-C12: co-vis counts, embeddings, kNN, clusters,
+        popularity — everything retrieval needs, artifact-cached."""
         t0 = time.time()
         cfg = self.cfg
         full = train.concat(test)
@@ -225,6 +305,24 @@ class Pipeline:
             session_cluster=cl_of_session,
             session_emb=dict(zip(sess_ids.tolist(), sess_emb)),
         )
+        self._log("context built", t0)
+        return retriever
+
+    def retrieve_with_features(
+        self,
+        train: Events,
+        test: Events,
+        labels: Optional[Labels] = None,
+        batch_sessions: int = 256,
+    ):
+        """Stages C7-C14: stats/embeddings/clusters/popularity -> fused
+        retrieval + features -> retrieval-ceiling eval. Returns
+        (batches, targets, metrics); targets is None without labels.
+
+        Keeps every batch's [S, C, F] feature tensor device-resident at
+        once — use run_streaming for test sets past ~50k sessions."""
+        t0 = time.time()
+        retriever = self.build_retriever(train, test)
         batches = retriever.run(test, batch_sessions=batch_sessions)
         self._log("retrieve", t0, f"{sum(b.cand.shape[0] for b in batches)} sessions")
 
@@ -232,29 +330,36 @@ class Pipeline:
         metrics: Dict[str, float] = {}
         if labels is not None:
             targets = join_labels(batches, labels)
-            # retrieval-ceiling eval (C14)
-            all_sess = np.concatenate([b.session for b in batches])
-            all_cand = np.concatenate([b.cand for b in batches])
-            ceiling = recall_at_k(all_sess, all_cand, labels, cutoffs=(20, 100, 200))
-            with open(self._p("eval_retrieved.json"), "w") as fh:
-                json.dump(ceiling, fh, indent=2)
-            for t in ("clicks", "carts", "orders", "total"):
-                metrics[f"ceiling_{t}"] = ceiling[t]["topall"]
-            self._log("eval_retrieved", t0, json.dumps(ceiling["total"]))
-
-            # per-source recall table (C14 full report,
-            # reference: model/eval_retrieved.py:37-139)
-            from otto_tpu.eval.per_source import (
-                eval_retrieved_by_source,
-                format_report,
+            metrics = self._eval_retrieved(
+                np.concatenate([b.session for b in batches]),
+                np.concatenate([b.cand for b in batches]),
+                batches, labels, t0,
             )
-
-            per_src = eval_retrieved_by_source(batches, labels)
-            with open(self._p("eval_retrieved_sources.json"), "w") as fh:
-                json.dump(per_src, fh, indent=2)
-            log.info("per-source recall:\n%s", format_report(per_src))
-
         return batches, targets, metrics
+
+    def _eval_retrieved(self, all_sess, all_cand, src_batches, labels, t0):
+        """C14: retrieval-ceiling eval + per-source recall report.
+        src_batches may hold RetrievedBatch or SrcFlagBatch objects."""
+        metrics: Dict[str, float] = {}
+        ceiling = recall_at_k(all_sess, all_cand, labels, cutoffs=(20, 100, 200))
+        with open(self._p("eval_retrieved.json"), "w") as fh:
+            json.dump(ceiling, fh, indent=2)
+        for t in ("clicks", "carts", "orders", "total"):
+            metrics[f"ceiling_{t}"] = ceiling[t]["topall"]
+        self._log("eval_retrieved", t0, json.dumps(ceiling["total"]))
+
+        # per-source recall table (C14 full report,
+        # reference: model/eval_retrieved.py:37-139)
+        from otto_tpu.eval.per_source import (
+            eval_retrieved_by_source,
+            format_report,
+        )
+
+        per_src = eval_retrieved_by_source(src_batches, labels)
+        with open(self._p("eval_retrieved_sources.json"), "w") as fh:
+            json.dump(per_src, fh, indent=2)
+        log.info("per-source recall:\n%s", format_report(per_src))
+        return metrics
 
     def rank_and_eval(
         self,
@@ -271,52 +376,66 @@ class Pipeline:
             metrics = {}
 
         # ---- C15/C16 downsample + train rankers --------------------------
-        from otto_tpu.models.gbdt import GBDTRanker, train_gbdt_ranker
-
-        backend = cfg.ranker_backend
         rankers: Dict[str, object] = {}
         for tname in TYPES:
-            rname = f"ranker-{backend}-{tname}.npz"
-            rpath = self._p(rname)
-            if self._cached(rname):
-                rankers[tname] = (
-                    GBDTRanker.load(rpath)
-                    if backend == "gbdt"
-                    else Ranker.load(rpath, cfg.ranker)
-                )
-                continue
-            feats, y, sess = rank_engine.downsample(
-                batches, targets, TYPE2ID[tname], cfg.ranker
+            rankers[tname] = self._train_ranker_cached(
+                tname,
+                lambda tname=tname: rank_engine.downsample(
+                    batches, targets, TYPE2ID[tname], cfg.ranker
+                ),
+                t0,
             )
-            # session-level 75/25 train/valid split for ndcg reporting
-            # (reference: model/train_lgbm_rankers.py:184-204 file split)
-            u_sess = np.unique(sess)
-            n_train = max(1, int(len(u_sess) * 0.75))
-            valid_set = None
-            if len(u_sess) - n_train >= 8:
-                vmask = np.isin(sess, u_sess[n_train:])
-                valid_set = (feats[vmask], y[vmask], sess[vmask])
-                feats, y, sess = feats[~vmask], y[~vmask], sess[~vmask]
-            if backend == "gbdt":
-                rankers[tname] = train_gbdt_ranker(
-                    feats, y, sess, FEATURE_NAMES, cfg.gbdt, valid=valid_set
-                )
-            else:
-                rankers[tname] = train_ranker(
-                    feats, y, sess, FEATURE_NAMES, cfg.ranker, valid=valid_set
-                )
-            rankers[tname].save(rpath)
-            self._log(f"ranker {tname} ({backend})", t0, f"{len(y)} rows")
 
         # ---- C17/C18 rank + submit -----------------------------------
         preds = {}
         for tname in TYPES:
             s, a, _ = rank_engine.score_and_topk(batches, rankers[tname])
             preds[tname] = (s, a)
+        return self._submit_and_eval(preds, labels, metrics, t0)
+
+    def _train_ranker_cached(self, tname: str, rows_fn, t0: float):
+        """C15/C16 for one target type: artifact cache -> downsampled rows
+        via rows_fn() -> session-level 75/25 train/valid split -> train."""
+        from otto_tpu.models.gbdt import GBDTRanker, train_gbdt_ranker
+
+        cfg = self.cfg
+        backend = cfg.ranker_backend
+        rname = f"ranker-{backend}-{tname}.npz"
+        rpath = self._p(rname)
+        if self._cached(rname):
+            return (
+                GBDTRanker.load(rpath)
+                if backend == "gbdt"
+                else Ranker.load(rpath, cfg.ranker)
+            )
+        feats, y, sess = rows_fn()
+        # session-level 75/25 train/valid split for ndcg reporting
+        # (reference: model/train_lgbm_rankers.py:184-204 file split)
+        u_sess = np.unique(sess)
+        n_train = max(1, int(len(u_sess) * 0.75))
+        valid_set = None
+        if len(u_sess) - n_train >= 8:
+            vmask = np.isin(sess, u_sess[n_train:])
+            valid_set = (feats[vmask], y[vmask], sess[vmask])
+            feats, y, sess = feats[~vmask], y[~vmask], sess[~vmask]
+        if backend == "gbdt":
+            ranker = train_gbdt_ranker(
+                feats, y, sess, FEATURE_NAMES, cfg.gbdt, valid=valid_set
+            )
+        else:
+            ranker = train_ranker(
+                feats, y, sess, FEATURE_NAMES, cfg.ranker, valid=valid_set
+            )
+        ranker.save(rpath)
+        self._log(f"ranker {tname} ({backend})", t0, f"{len(y)} rows")
+        return ranker
+
+    def _submit_and_eval(self, preds, labels, metrics, t0):
+        """C18/C19 tail: write the Kaggle CSV, evaluate recall@20, persist
+        reports, re-parse cross-check."""
         rank_engine.write_submission(self._p("submission.csv"), preds)
         self._log("submit", t0)
 
-        # ---- C19 eval -------------------------------------------------
         res = evaluate_topk(preds, labels)
         metrics.update(res)
         with open(self._p("eval_submission.json"), "w") as fh:
@@ -347,9 +466,18 @@ def run_synthetic(
     work_dir: str,
     spec: SyntheticSpec,
     batch_sessions: int = 256,
+    streaming: Optional[bool] = None,
 ) -> Dict[str, float]:
-    """Generate synthetic data, split, and run the full pipeline."""
+    """Generate synthetic data, split, and run the full pipeline.
+    streaming=None auto-selects the streaming runner past 50k test
+    sessions (the batch runner pins every feature tensor on device)."""
     ev = generate(spec)
     sp = split_events(ev, cfg.data.test_days, cfg.data.seed)
     pipe = Pipeline(cfg=cfg, work_dir=work_dir, n_aids=spec.n_aids)
+    if streaming is None:
+        streaming = len(np.unique(sp.test.session)) > 50_000
+    if streaming:
+        return pipe.run_streaming(
+            sp.train, sp.test, sp.labels, batch_sessions=batch_sessions
+        )
     return pipe.run(sp.train, sp.test, sp.labels, batch_sessions=batch_sessions)

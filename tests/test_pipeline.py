@@ -90,6 +90,26 @@ def test_submission_format(pipeline_metrics):
     assert set(sub["clicks"]) == set(sub["orders"])
 
 
+def test_streaming_runner_matches_batch(tiny_cfg, pipeline_metrics, tmp_path):
+    """run_streaming (two-pass, O(one batch) device feature memory) must
+    reproduce run()'s metrics exactly: identical downsample selection (the
+    per-type rng streams replay the all-at-once draws), identical ranker
+    training rows, identical scoring."""
+    _, batch_metrics = pipeline_metrics
+    from otto_tpu.data.split import split_events
+    from otto_tpu.data.synthetic import generate
+    from otto_tpu.pipeline.runner import Pipeline
+
+    spec = SyntheticSpec(n_sessions=2500, n_aids=1200, mean_len=10,
+                         span_days=21, seed=11)
+    ev = generate(spec)
+    sp = split_events(ev, tiny_cfg.data.test_days, tiny_cfg.data.seed)
+    pipe = Pipeline(cfg=tiny_cfg, work_dir=str(tmp_path), n_aids=spec.n_aids)
+    m = pipe.run_streaming(sp.train, sp.test, sp.labels, batch_sessions=64)
+    for k in ("ceiling_total", "clicks", "carts", "orders", "total"):
+        assert abs(m[k] - batch_metrics[k]) < 1e-9, (k, m[k], batch_metrics[k])
+
+
 def test_pipeline_resume_from_cache(tiny_cfg, pipeline_metrics):
     """Re-running with the same work dir must reuse artifacts (reference
     resumability semantics, SURVEY.md §5.3-4)."""

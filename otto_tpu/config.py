@@ -151,13 +151,23 @@ class Word2VecConfig:
     # scale); 'host': numpy pair generation streamed per epoch.
     sampler: str = "device"
     # Negative sampling strategy: 'pair' draws `negatives` fresh per
-    # positive (gensim parity, reference: model/w2vec_aids.py:63); 'chunk'
-    # shares a drawn pool within 256-pair chunks — the negative tower then
-    # runs as MXU matmuls with a tiny scatter (~2x faster per step at 2M
-    # vocab) at a measurable embedding-quality cost on SMALL corpora
-    # (w2v-source retrieval recall dropped ~2pts at 4k sessions). Use
-    # 'chunk' for production-scale corpora only.
-    neg_sharing: str = "pair"
+    # positive (gensim parity, reference: model/w2vec_aids.py:63) but takes
+    # DENSE autodiff grads — 3 full-table passes per step, so its step cost
+    # grows with vocab size (278 ms/step at V=284k). 'chunk' shares a drawn
+    # pool within 64-pair chunks — the negative tower then runs as MXU
+    # matmuls with a tiny scatter (3.6 ms/step at V=2M) at a measurable
+    # embedding-quality cost on SMALL corpora (w2v-source retrieval recall
+    # dropped ~2pts at 4k sessions; the cost vanishes with step count).
+    # 'auto' (default) picks 'chunk' once the corpus/vocab is in the
+    # production regime (>=100k vocab rows or >=5M corpus positions).
+    neg_sharing: str = "auto"
+
+    # Max fori_loop steps fused into one device dispatch. Whole epochs in
+    # one dispatch minimize host round-trips (~80 ms each on tunneled
+    # runtimes) but a single execution lasting many minutes trips remote-
+    # runtime execution deadlines (measured: a 2232-step pair-mode epoch
+    # crashed the TPU worker; 50-step dispatches are fine).
+    steps_per_dispatch: int = 64
 
     # kNN retrieval over the trained table (reference: config.py:109,124-125).
     knn_k: int = 20
@@ -249,6 +259,11 @@ class GBDTConfig:
     # device-shape knobs (tune for HBM, not quality)
     row_chunk: int = 1 << 14         # rows per histogram matmul chunk
     group_chunk: int = 1 << 10       # groups per pairwise-lambda chunk
+    # Max trees fused into one boosting dispatch. The whole loop in one
+    # dispatch is ideal for round-trips, but a single device execution of
+    # many minutes trips remote-runtime deadlines (the tunneled worker
+    # killed a ~10-min execution); 50 trees ~= 27 s at 3M rows.
+    trees_per_dispatch: int = 50
 
 
 @dataclasses.dataclass(frozen=True)

@@ -274,9 +274,16 @@ def _pad_axis0(x: np.ndarray, mult: int, fill=0) -> np.ndarray:
     return np.concatenate([x, np.full((pad, *x.shape[1:]), fill, x.dtype)])
 
 
-def _train_core(bins, labels_g, mask_g, cfg: GBDTConfig, axis_name=None):
+def _train_core(bins, labels_g, mask_g, cfg: GBDTConfig, axis_name=None,
+                scores0=None, tree_ids=None):
     """bins [NG*G, F] uint8 (grouped-flat: row g*G+j <-> group g slot j),
     labels_g/mask_g [NG, G]. Returns stacked trees + final (local) scores.
+
+    scores0/tree_ids carry state across chunked boosting dispatches: the
+    driver runs `trees_per_dispatch` trees per device execution (a whole
+    150-tree run in one dispatch trips remote-runtime execution deadlines
+    at ~10M rows) and feeds each chunk the previous chunk's scores plus
+    the global tree indices (which seed per-tree rng).
 
     With axis_name set (inside shard_map), the arrays are the per-device
     shards; split decisions are computed from psum'd histograms, so every
@@ -337,19 +344,23 @@ def _train_core(bins, labels_g, mask_g, cfg: GBDTConfig, axis_name=None):
         gfeat = feat_idx[feat_l]                                   # global ids
         return scores, (gfeat, thr, leaf)
 
-    scores0 = jnp.zeros(N, jnp.float32)
-    scores, (gfeat, thr, leaf) = jax.lax.scan(
-        boost_step, scores0, jnp.arange(cfg.n_trees)
-    )
+    if scores0 is None:
+        scores0 = jnp.zeros(N, jnp.float32)
+    if tree_ids is None:
+        tree_ids = jnp.arange(cfg.n_trees)
+    scores, (gfeat, thr, leaf) = jax.lax.scan(boost_step, scores0, tree_ids)
     return gfeat, thr, leaf, scores
 
 
 @partial(jax.jit, static_argnames=("cfg",))
-def _train_program(bins, labels_g, mask_g, cfg: GBDTConfig):
-    return _train_core(bins, labels_g, mask_g, cfg)
+def _train_program(bins, labels_g, mask_g, cfg: GBDTConfig,
+                   scores0=None, tree_ids=None):
+    return _train_core(bins, labels_g, mask_g, cfg,
+                       scores0=scores0, tree_ids=tree_ids)
 
 
-def _train_program_dp(bins, labels_g, mask_g, cfg: GBDTConfig, mesh, axis: str):
+def _train_program_dp(bins, labels_g, mask_g, cfg: GBDTConfig, mesh, axis: str,
+                      scores0=None, tree_ids=None):
     """Data-parallel boosting over a mesh axis: groups (and their rows) are
     sharded along `axis`; trees come back replicated. The dp analogue of the
     reference's DaskLGBMRanker(tree_learner_type='data_parallel')
@@ -357,14 +368,23 @@ def _train_program_dp(bins, labels_g, mask_g, cfg: GBDTConfig, mesh, axis: str):
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
+    if scores0 is None:
+        scores0 = jnp.zeros(bins.shape[0], jnp.float32)
+    if tree_ids is None:
+        tree_ids = jnp.arange(cfg.n_trees)
+
+    def core(b, lg, mg, s0, tids):
+        return _train_core(b, lg, mg, cfg, axis_name=axis,
+                           scores0=s0, tree_ids=tids)
+
     fn = shard_map(
-        partial(_train_core, cfg=cfg, axis_name=axis),
+        core,
         mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis)),
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P()),
         out_specs=(P(), P(), P(), P(axis)),
         check_vma=False,
     )
-    return jax.jit(fn)(bins, labels_g, mask_g)
+    return jax.jit(fn)(bins, labels_g, mask_g, scores0, tree_ids)
 
 
 @jax.jit
@@ -563,14 +583,30 @@ def train_gbdt_ranker(
     mg = _pad_axis0(mg, ng_mult)
     bins = jnp.asarray(fg.reshape(-1, F))
 
-    if mesh is not None:
-        gfeat, thr, leaf, _ = _train_program_dp(
-            bins, jnp.asarray(lg), jnp.asarray(mg), cfg, mesh, mesh_axis
-        )
-    else:
-        gfeat, thr, leaf, _ = _train_program(
-            bins, jnp.asarray(lg), jnp.asarray(mg), cfg
-        )
+    # boosting in trees_per_dispatch chunks: scores carry across dispatches
+    # so each device execution stays under remote-runtime deadlines; tree
+    # ids stay global so per-tree rng (colsample/bagging) is unchanged and
+    # the chunked run is bit-identical to the fused one
+    lg_d, mg_d = jnp.asarray(lg), jnp.asarray(mg)
+    chunk = max(1, int(getattr(cfg, "trees_per_dispatch", cfg.n_trees)))
+    # explicit zeros (not None) so every chunk reuses ONE compiled program
+    scores = jnp.zeros(bins.shape[0], jnp.float32)
+    parts = []
+    for t0 in range(0, cfg.n_trees, chunk):
+        tids = jnp.arange(t0, min(t0 + chunk, cfg.n_trees))
+        if mesh is not None:
+            gf, th, lf, scores = _train_program_dp(
+                bins, lg_d, mg_d, cfg, mesh, mesh_axis,
+                scores0=scores, tree_ids=tids,
+            )
+        else:
+            gf, th, lf, scores = _train_program(
+                bins, lg_d, mg_d, cfg, scores0=scores, tree_ids=tids
+            )
+        parts.append((gf, th, lf))
+    gfeat = jnp.concatenate([p[0] for p in parts])
+    thr = jnp.concatenate([p[1] for p in parts])
+    leaf = jnp.concatenate([p[2] for p in parts])
     model = GBDTRanker(
         cfg=cfg,
         edges=edges,

@@ -401,6 +401,7 @@ class Word2Vec:
 # cache on this runtime (see engine/covis.py note); the epoch-boundary param
 # copy is trivial next to minutes of recompile.
 @partial(jax.jit, static_argnums=(6, 7, 8, 9, 11))
+@partial(jax.jit, static_argnums=(6, 7, 8, 9, 11))
 def sgns_epoch_device(
     params: SGNSParams,
     words: jnp.ndarray,
@@ -416,7 +417,9 @@ def sgns_epoch_device(
     neg_mode: str = "pair",
 ) -> Tuple[SGNSParams, jnp.ndarray]:
     """n_steps SGNS updates in ONE dispatch (lax.fori_loop): host-device
-    round-trips per step dominate wall clock on tunneled/remote runtimes."""
+    round-trips per step dominate wall clock on tunneled/remote runtimes.
+    Jitted with static step count — the training loop re-invokes this with
+    one fixed chunk size, so every dispatch reuses one compiled program."""
 
     def body(i, carry):
         params, _ = carry
@@ -490,6 +493,18 @@ def train_word2vec_device(
     steps_per_epoch = max(
         1, total_positions * cfg.window // cfg.batch_size
     )
+    neg_mode = getattr(cfg, "neg_sharing", "auto")
+    if neg_mode == "auto":
+        # pair mode's dense grads stream the whole [V, D] table 3x per
+        # step; past ~100k vocab rows (or a corpus big enough that chunk
+        # mode's fewer fresh draws stop mattering) the sparse shared-
+        # negative step wins by 1-2 orders of magnitude.
+        neg_mode = (
+            "chunk" if V >= 100_000 or total_positions >= 5_000_000
+            else "pair"
+        )
+        log.info("w2v[device] %s: neg_sharing auto -> %s (V=%d, positions=%d)",
+                 cfg.name, neg_mode, V, total_positions)
     start_epoch = 0
     if checkpoint_path is not None:
         from otto_tpu.utils.checkpoint import load_checkpoint
@@ -500,18 +515,26 @@ def train_word2vec_device(
             log.info("w2v[device] %s resumed at epoch %d", cfg.name, start_epoch)
 
     loss = jnp.float32(0)
+    chunk = max(1, int(getattr(cfg, "steps_per_dispatch", 64)))
     for epoch in range(start_epoch, cfg.epochs):
         key, sub = jax.random.split(key)
-        # whole epoch in one dispatch: per-step host round-trips dominate
-        # on tunneled runtimes (measured ~80ms/step dispatch overhead)
-        params, loss = sgns_epoch_device(
-            params, words_d, cum_d, neg_cdf, keep_prob_d,
-            jnp.float32(cfg.learning_rate),
-            cfg.batch_size, cfg.window, cfg.negatives, steps_per_epoch, sub,
-            getattr(cfg, "neg_sharing", "pair"),
-        )
-        log.info("w2v[device] %s epoch %d: %d steps, loss=%.4f",
-                 cfg.name, epoch, steps_per_epoch, float(loss))
+        # epoch = a host loop of fixed-size fused dispatches: one dispatch
+        # per `chunk` steps amortizes the ~80 ms tunnel round-trip, while
+        # the fixed size keeps ONE compiled program and each execution
+        # under remote-runtime deadlines (a whole-epoch 2232-step dispatch
+        # crashed the tunneled TPU worker; see Word2VecConfig
+        # .steps_per_dispatch). The last dispatch runs a full chunk — the
+        # step target is a sampling heuristic, slight overshoot is fine.
+        n_chunks = max(1, (steps_per_epoch + chunk - 1) // chunk)
+        for c in range(n_chunks):
+            params, loss = sgns_epoch_device(
+                params, words_d, cum_d, neg_cdf, keep_prob_d,
+                jnp.float32(cfg.learning_rate),
+                cfg.batch_size, cfg.window, cfg.negatives, chunk,
+                jax.random.fold_in(sub, c), neg_mode,
+            )
+        log.info("w2v[device] %s epoch %d: %d steps (%d dispatches), loss=%.4f",
+                 cfg.name, epoch, n_chunks * chunk, n_chunks, float(loss))
         if checkpoint_path is not None:
             from otto_tpu.utils.checkpoint import save_checkpoint
 

@@ -163,6 +163,29 @@ def test_gbdt_dp_histogram_reduction_exact():
             np.testing.assert_allclose(h[fi, :, di], oracle, rtol=5e-2, atol=1e-1)
 
 
+def test_gbdt_chunked_dispatch_bit_identical():
+    """trees_per_dispatch chunking (carry scores, global tree ids) must
+    reproduce the single-dispatch model exactly — same rng per tree, same
+    split decisions."""
+    import dataclasses
+
+    x, y, sess = _synthetic_ranking(n_groups=60)
+    base = GBDTConfig(
+        n_trees=12, max_depth=3, n_bins=16, colsample=0.8, subsample=0.9,
+        min_child_samples=5, max_group=16, row_chunk=512, group_chunk=32,
+        trees_per_dispatch=12,
+    )
+    chunked = dataclasses.replace(base, trees_per_dispatch=5)  # 5+5+2
+    names = tuple(f"f{i}" for i in range(10))
+    m1 = train_gbdt_ranker(x, y, sess, names, base)
+    m2 = train_gbdt_ranker(x, y, sess, names, chunked)
+    np.testing.assert_array_equal(m1.gfeat, m2.gfeat)
+    np.testing.assert_array_equal(m1.thr, m2.thr)
+    np.testing.assert_allclose(m1.leaf, m2.leaf, rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(m1.predict(x[:64]), m2.predict(x[:64]),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_device_binning_matches_host():
     import jax.numpy as jnp
 

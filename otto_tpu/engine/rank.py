@@ -22,17 +22,18 @@ from otto_tpu.engine.retrieval import RetrievedBatch
 from otto_tpu.models.ranker import Ranker
 
 
-def downsample_batch(
+def downsample_select(
     b: RetrievedBatch,
     tgt: np.ndarray,                # [S, C, 3]
     type_id: int,
     cfg: RankerConfig,
     rng: np.random.Generator,
 ) -> "Tuple[np.ndarray, np.ndarray, np.ndarray] | None":
-    """One batch of the downsampler; returns (feats, labels, sessions) flat
-    rows or None when no session in the batch has a positive. Consumes rng
-    draws only in the positive case, so feeding batches through per-type rng
-    streams reproduces the all-at-once `downsample` selection exactly."""
+    """Selection half of the downsampler (host-only): returns row indices
+    (si, ci) plus labels, or None when no session in the batch has a
+    positive. Consumes rng draws only in the positive case, so feeding
+    batches through per-type rng streams reproduces the all-at-once
+    `downsample` selection exactly."""
     S, C = b.cand.shape
     valid = b.cand >= 0
     y = tgt[:, :, type_id]
@@ -54,8 +55,23 @@ def downsample_batch(
     keep = (valid & (y > 0)) | keep_neg
     keep &= keep_sessions[:, None]
     si, ci = np.nonzero(keep)
-    # device-side row gather -> only the selected rows cross the link
-    return b.feats_rows(si, ci), y[si, ci], b.session[si]
+    return si, ci, y[si, ci]
+
+
+def downsample_batch(
+    b: RetrievedBatch,
+    tgt: np.ndarray,                # [S, C, 3]
+    type_id: int,
+    cfg: RankerConfig,
+    rng: np.random.Generator,
+) -> "Tuple[np.ndarray, np.ndarray, np.ndarray] | None":
+    """One batch of the downsampler -> (feats, labels, sessions) flat rows.
+    Device-side row gather: only the selected rows cross the link."""
+    got = downsample_select(b, tgt, type_id, cfg, rng)
+    if got is None:
+        return None
+    si, ci, y = got
+    return b.feats_rows(si, ci), y, b.session[si]
 
 
 def downsample(

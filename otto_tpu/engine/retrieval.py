@@ -142,8 +142,27 @@ class RetrievedBatch(NamedTuple):
     ts_order: np.ndarray    # [S, C] candidate recency (999 = non-self source)
 
     def feats_rows(self, si: np.ndarray, ci: np.ndarray) -> np.ndarray:
-        """Gather [n, F] candidate rows (device gather -> small host pull)."""
-        return np.asarray(self.feats[si, ci])
+        """Gather [n, F] candidate rows (device gather -> small host pull).
+
+        The index set is padded to a power of two before the device gather:
+        every distinct index length is a distinct eager-gather program, and
+        with per-batch-varying selection counts that meant a fresh remote
+        compile per call (measured: a 1M-session streaming run spent its
+        first 40 minutes compiling ~one jit_gather per batch per target).
+        Pow2 bucketing caps the compiled-shape set at ~log2(S*C)."""
+        import jax.numpy as jnp
+
+        n = len(si)
+        if n == 0:
+            return np.empty((0, self.feats.shape[-1]), np.float32)
+        if isinstance(self.feats, np.ndarray):
+            return self.feats[si, ci]
+        npad = max(8, 1 << (n - 1).bit_length())
+        sip = np.zeros(npad, si.dtype)
+        cip = np.zeros(npad, ci.dtype)
+        sip[:n], cip[:n] = si, ci
+        rows = np.asarray(self.feats[jnp.asarray(sip), jnp.asarray(cip)])
+        return rows[:n]
 
 
 def _null_to(x, ident, repl):

@@ -132,12 +132,26 @@ class Pipeline:
                 continue
             tgt = join_labels([b], labels)[0]
             flag_batches.append(SrcFlagBatch.from_batch(b))
+            # select per type on host, then ONE padded device gather for all
+            # three types (each eager gather is a tunnel round-trip)
+            sels = {}
             for tname in TYPES:
-                got = rank_engine.downsample_batch(
+                got = rank_engine.downsample_select(
                     b, tgt, TYPE2ID[tname], cfg.ranker, rngs[tname]
                 )
                 if got is not None:
-                    rows[tname].append(got)
+                    sels[tname] = got
+            if sels:
+                si_all = np.concatenate([s[0] for s in sels.values()])
+                ci_all = np.concatenate([s[1] for s in sels.values()])
+                feats_all = b.feats_rows(si_all, ci_all)
+                off = 0
+                for tname, (si, ci, y) in sels.items():
+                    n = len(si)
+                    rows[tname].append(
+                        (feats_all[off:off + n], y, b.session[si])
+                    )
+                    off += n
         self._log("retrieve+downsample (pass A)", t0, f"{n_sessions} sessions")
 
         metrics: Dict[str, float] = {}

@@ -173,7 +173,17 @@ class Pipeline:
                 sess = np.concatenate([r[2] for r in rows[tname]])
                 rows[tname] = None  # free
                 order = np.argsort(sess, kind="stable")
-                return feats[order], y[order], sess[order]
+                feats, y, sess = feats[order], y[order], sess[order]
+                # persist the downsampled training set (the reference's C15
+                # stage artifact, reference: model/downsample_retrieved.py:
+                # 61-62 per-target dirs) — ranker iteration then skips the
+                # retrieval pass (scripts/exp_gbdt_rows.py)
+                np.savez(
+                    self._p(f"downsampled-{tname}.npz"),
+                    feats=feats.astype(np.float16), y=y.astype(np.int8),
+                    session=sess,
+                )
+                return feats, y, sess
             rankers[tname] = self._train_ranker_cached(tname, rows_fn, t0)
 
         # pass B: stream again, score all 3 targets per batch on device

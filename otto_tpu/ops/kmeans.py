@@ -1,10 +1,22 @@
-"""KMeans (Lloyd's) as device matmul + argmin + segment-sum (C11).
+"""KMeans (Lloyd's) as device matmul + argmin + one-hot-matmul update (C11).
 
 Replaces dask_ml / sklearn KMeans over chunked HDF5 arrays (reference:
 model/kmeans_sessions.py:119-161, k=50, max_iter=100, tol=1e-3, seed=42).
-One Lloyd iteration is a single jitted program: distance = matmul on the MXU,
-assignment = argmin, centroid update = scatter-add — data-parallel over
-session shards with a psum when run under shard_map.
+The ENTIRE fit — k-means++ seeding, Lloyd iterations, tol check — runs as
+one jitted program:
+
+  * distance = matmul on the MXU; assignment = argmin;
+  * centroid update = one-hot x matmul contraction, NOT scatter-add (TPU
+    scatters measured ~1000x slower than gathers, see ops/segment.py) —
+    at k<=few hundred the [N, K] one-hot is cheap MXU work;
+  * k-means++ seeding = lax.fori_loop of categorical draws from the D^2
+    distribution (the host-loop version paid ~49 device round-trips +
+    [N] pulls: ~11 s of wall for 0.2 s of math);
+  * Lloyd loop = lax.while_loop with the sklearn tol semantics inside
+    (stop when squared Frobenius centroid shift <= tol * mean per-feature
+    variance), so no per-iteration host sync.
+
+Data-parallel over session shards with a psum when run under shard_map.
 """
 from __future__ import annotations
 
@@ -33,41 +45,93 @@ def assign(x: jnp.ndarray, centroids: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.nda
     return labels, jnp.maximum(best, 0.0)
 
 
-@jax.jit
-def lloyd_step(x: jnp.ndarray, centroids: jnp.ndarray):
+def _lloyd_body(x, centroids, axis_name=None):
     """One Lloyd iteration. Empty clusters keep their previous centroid
     (sklearn re-seeds; at k=50 over millions of points empties are rare)."""
     K = centroids.shape[0]
     labels, dists = assign(x, centroids)
-    sums = jnp.zeros_like(centroids).at[labels].add(x)
-    cnts = jnp.zeros((K,), jnp.float32).at[labels].add(1.0)
+    # one-hot x matmul: the scatter-free groupby. f32 keeps the centroid
+    # means exact; XLA fuses the one-hot materialization into the dot.
+    onehot = (labels[:, None] == jnp.arange(K)[None, :]).astype(jnp.float32)
+    sums = jnp.dot(onehot.T, x, preferred_element_type=jnp.float32)   # [K, D]
+    cnts = jnp.sum(onehot, axis=0)                                    # [K]
+    inertia = jnp.sum(dists)
+    if axis_name is not None:
+        sums = jax.lax.psum(sums, axis_name)
+        cnts = jax.lax.psum(cnts, axis_name)
+        inertia = jax.lax.psum(inertia, axis_name)
     new = jnp.where(
         cnts[:, None] > 0, sums / jnp.maximum(cnts[:, None], 1.0), centroids
     )
-    inertia = jnp.sum(dists)
     shift = jnp.sum((new - centroids) ** 2)
     return new, inertia, shift
 
 
-def _kmeanspp_init(xd: jnp.ndarray, k: int, rng: np.random.Generator) -> jnp.ndarray:
-    """k-means++ seeding: each next centre sampled proportional to squared
-    distance from the chosen set (distance updates run on device)."""
-    n = xd.shape[0]
-    first = int(rng.integers(0, n))
-    centers = [xd[first]]
-    d2 = jnp.sum((xd - centers[0][None, :]) ** 2, axis=1)
-    for _ in range(1, k):
-        p = np.asarray(d2, np.float64)
-        p = np.maximum(p, 0)
-        tot = p.sum()
-        if tot <= 0:
-            idx = int(rng.integers(0, n))
-        else:
-            idx = int(rng.choice(n, p=p / tot))
-        c = xd[idx]
-        centers.append(c)
-        d2 = jnp.minimum(d2, jnp.sum((xd - c[None, :]) ** 2, axis=1))
-    return jnp.stack(centers)
+@jax.jit
+def lloyd_step(x: jnp.ndarray, centroids: jnp.ndarray):
+    return _lloyd_body(x, centroids)
+
+
+def _kmeanspp_init_device(x, k: int, key):
+    """k-means++ seeding fully on device: one fori_loop of categorical
+    draws proportional to squared distance from the chosen set."""
+    n, d = x.shape
+    k0, k1 = jax.random.split(key)
+    first = jax.random.randint(k0, (), 0, n)
+    c0 = x[first]
+    d2 = jnp.sum((x - c0[None, :]) ** 2, axis=1)
+    centers0 = jnp.zeros((k, d), x.dtype).at[0].set(c0)
+
+    def body(i, carry):
+        centers, d2 = carry
+        ki = jax.random.fold_in(k1, i)
+        # sample proportional to d2 (all-zero d2 -> uniform over index 0,
+        # harmless duplicate centre)
+        logits = jnp.where(d2 > 0, jnp.log(jnp.maximum(d2, 1e-30)), -jnp.inf)
+        logits = jnp.where(jnp.any(d2 > 0), logits, jnp.zeros_like(d2))
+        idx = jax.random.categorical(ki, logits)
+        c = x[idx]
+        centers = jax.lax.dynamic_update_index_in_dim(centers, c, i, 0)
+        d2 = jnp.minimum(d2, jnp.sum((x - c[None, :]) ** 2, axis=1))
+        return centers, d2
+
+    centers, _ = jax.lax.fori_loop(1, k, body, (centers0, d2))
+    return centers
+
+
+@partial(jax.jit, static_argnums=(1, 3))
+def _fit_program(x, k: int, max_iter, init_sample: int, tol_thresh, key):
+    """Seeding + Lloyd-until-tol in ONE dispatch; returns
+    (centroids, labels, inertia, n_iter).
+
+    Seeding runs on a random subsample: k-means++ is k-1 SEQUENTIAL
+    distance passes — on full data that costs as much as ~k extra Lloyd
+    iterations while contributing only a starting point. At k=50 over
+    millions of points a 64k-point D^2 sample seeds indistinguishably."""
+    kseed, kinit = jax.random.split(key)
+    if init_sample and init_sample < x.shape[0]:
+        idx = jax.random.choice(
+            kseed, x.shape[0], (init_sample,), replace=False
+        )
+        x_init = x[idx]
+    else:
+        x_init = x
+    centroids = _kmeanspp_init_device(x_init, k, kinit)
+
+    def cond(carry):
+        _, _, shift, it = carry
+        return (it < max_iter) & (shift > tol_thresh)
+
+    def body(carry):
+        c, _, _, it = carry
+        new, inertia, shift = _lloyd_body(x, c)
+        return new, inertia, shift, it + 1
+
+    init = (centroids, jnp.float32(jnp.inf), jnp.float32(jnp.inf),
+            jnp.int32(0))
+    centroids, inertia, _, n_iter = jax.lax.while_loop(cond, body, init)
+    labels, _ = assign(x, centroids)
+    return centroids, labels, inertia, n_iter
 
 
 def kmeans_fit(
@@ -76,25 +140,23 @@ def kmeans_fit(
     max_iter: int = 100,
     tol: float = 1e-3,
     seed: int = 42,
+    init_sample: int = 1 << 16,
 ) -> Tuple[np.ndarray, np.ndarray, float, int]:
     """Fit KMeans; returns (centroids, labels, inertia, n_iter).
 
     Init: k-means++ (D^2 sampling — dask_ml's k-means|| analogue, reference:
-    model/kmeans_sessions.py:144-150). tol semantics follow sklearn: stop
-    when the squared Frobenius norm of the centroid shift drops below
-    tol * mean per-feature variance.
+    model/kmeans_sessions.py:144-150) on an init_sample-point subsample.
+    tol semantics follow sklearn: stop when the squared Frobenius norm of
+    the centroid shift drops below tol * mean per-feature variance.
     """
-    rng = np.random.default_rng(seed)
     xd = jnp.asarray(x, jnp.float32)
-    centroids = _kmeanspp_init(xd, n_clusters, rng)
-    thresh = tol * float(np.mean(np.var(x, axis=0)))
-
-    inertia = np.inf
-    it = 0
-    for it in range(1, max_iter + 1):
-        centroids, inertia_j, shift = lloyd_step(xd, centroids)
-        inertia = float(inertia_j)
-        if float(shift) <= thresh:
-            break
-    labels, _ = assign(xd, centroids)
-    return np.asarray(centroids), np.asarray(labels), inertia, it
+    thresh = jnp.float32(tol * float(np.mean(np.var(x, axis=0))))
+    key = jax.random.PRNGKey(seed)
+    # max_iter and tol ride as traced scalars: ONE compiled program per
+    # (data shape, k) regardless of iteration budget (a static max_iter
+    # meant every budget change paid a fresh remote compile)
+    centroids, labels, inertia, n_iter = _fit_program(
+        xd, n_clusters, jnp.int32(max_iter), int(init_sample), thresh, key
+    )
+    return (np.asarray(centroids), np.asarray(labels), float(inertia),
+            int(n_iter))

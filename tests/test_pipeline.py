@@ -109,6 +109,13 @@ def test_streaming_runner_matches_batch(tiny_cfg, pipeline_metrics, tmp_path):
     for k in ("ceiling_total", "clicks", "carts", "orders", "total"):
         assert abs(m[k] - batch_metrics[k]) < 1e-9, (k, m[k], batch_metrics[k])
 
+    # the per-source recall report (built from streamed src-flag slices)
+    # must match the batch runner's (built from resident feature tensors)
+    work_batch, _ = pipeline_metrics
+    a = json.load(open(os.path.join(work_batch, "eval_retrieved_sources.json")))
+    b = json.load(open(os.path.join(str(tmp_path), "eval_retrieved_sources.json")))
+    assert a == b
+
 
 def test_pipeline_resume_from_cache(tiny_cfg, pipeline_metrics):
     """Re-running with the same work dir must reuse artifacts (reference

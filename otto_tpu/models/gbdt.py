@@ -137,35 +137,47 @@ def _max_dcg(labels: jnp.ndarray, mask: jnp.ndarray, k: int) -> jnp.ndarray:
 # tree building (device, inside the boosting scan)
 # ---------------------------------------------------------------------------
 
-def _histograms(bins_sub, ghc, n_bins, row_chunk, axis_name=None):
-    """bins_sub [N, Fs] int32, ghc [N, D] f32 -> [Fs, n_bins, D] f32.
+def _histograms(bins_sub, node, gh3, n_nodes_w, n_bins, row_chunk,
+                axis_name=None):
+    """bins_sub [N, Fs] int32, node [N] int32, gh3 [N, 3] f32 ->
+    [Fs, n_bins, W*3] f32 where W = n_nodes_w.
 
     One-hot x matmul over row chunks: the MXU does the binning reduction.
-    Rows are zero-padded to a row_chunk multiple (pad rows carry zero ghc).
+    The node-weighted gradient block (node_onehot x gh3, [chunk, W*3]) is
+    built INSIDE the chunk body — materializing it at full N (f32 [N, W*3],
+    ~2.3 GB at 6M rows / depth 6) OOMs the chip.
+    Rows are zero-padded to a row_chunk multiple (pad rows carry zero gh3).
     """
     n, fs = bins_sub.shape
-    d = ghc.shape[1]
     pad = (-n) % row_chunk
     if pad:
         bins_sub = jnp.pad(bins_sub, ((0, pad), (0, 0)))
-        ghc = jnp.pad(ghc, ((0, pad), (0, 0)))
+        node = jnp.pad(node, (0, pad))
+        gh3 = jnp.pad(gh3, ((0, pad), (0, 0)))
     n_chunks = (n + pad) // row_chunk
     bins_c = bins_sub.reshape(n_chunks, row_chunk, fs)
-    ghc_c = ghc.reshape(n_chunks, row_chunk, d)
+    node_c = node.reshape(n_chunks, row_chunk)
+    gh3_c = gh3.reshape(n_chunks, row_chunk, 3)
 
     def body(acc, xs):
-        bc, gc = xs
+        bc, nc, gc = xs
+        node_oh = (
+            nc[:, None] == jnp.arange(n_nodes_w)[None, :]
+        ).astype(jnp.float32)                              # [C, W]
+        ghc = (node_oh[:, :, None] * gc[:, None, :]).reshape(
+            bc.shape[0], n_nodes_w * 3
+        )                                                  # [C, W*3]
         onehot = (
             bc.astype(jnp.int32)[:, :, None] == jnp.arange(n_bins)[None, None, :]
         ).astype(jnp.bfloat16)
         acc = acc + jnp.einsum(
-            "cfb,cd->fbd", onehot, gc.astype(jnp.bfloat16),
+            "cfb,cd->fbd", onehot, ghc.astype(jnp.bfloat16),
             preferred_element_type=jnp.float32,
         )
         return acc, None
 
-    acc0 = jnp.zeros((fs, n_bins, d), jnp.float32)
-    acc, _ = jax.lax.scan(body, acc0, (bins_c, ghc_c))
+    acc0 = jnp.zeros((fs, n_bins, n_nodes_w * 3), jnp.float32)
+    acc, _ = jax.lax.scan(body, acc0, (bins_c, node_c, gh3_c))
     if axis_name is not None:
         # data-parallel GBDT: rows are sharded, histograms are tiny — the
         # all-reduce here is the only cross-device traffic per tree level
@@ -178,8 +190,8 @@ def _build_tree(bins_sub, grad, hess, cnt, cfg: GBDTConfig, axis_name=None):
 
     bins_sub [N, Fs] int32 (feature-subsampled), grad/hess/cnt [N] f32
     (cnt is 0 for padded/bagged-out rows). Returns (feat_local [D, W],
-    thr [D, W], leaf [2^D], node [N]) where W = 2^(D-1) max nodes/level
-    and thr == n_bins means "no-op split, all rows left".
+    thr [D, W], gain [D, W], leaf [2^D], node [N]) where W = 2^(D-1) max
+    nodes/level and thr == n_bins means "no-op split, all rows left".
     """
     depth, n_bins = cfg.max_depth, cfg.n_bins
     W = 1 << (depth - 1)
@@ -188,15 +200,14 @@ def _build_tree(bins_sub, grad, hess, cnt, cfg: GBDTConfig, axis_name=None):
     node = jnp.zeros(N, jnp.int32)
     feat_arr = jnp.zeros((depth, W), jnp.int32)
     thr_arr = jnp.full((depth, W), n_bins, jnp.int32)
+    gain_arr = jnp.zeros((depth, W), jnp.float32)
 
+    gh3 = jnp.stack([grad, hess, cnt], axis=-1)            # [N, 3]
     for level in range(depth):
         n_nodes = 1 << level
-        node_onehot = (node[:, None] == jnp.arange(W)[None, :]).astype(jnp.float32)
-        ghc = (
-            node_onehot[:, :, None]
-            * jnp.stack([grad, hess, cnt], axis=-1)[:, None, :]
-        ).reshape(N, W * 3)
-        H = _histograms(bins_sub, ghc, n_bins, cfg.row_chunk, axis_name)
+        H = _histograms(
+            bins_sub, node, gh3, W, n_bins, cfg.row_chunk, axis_name
+        )
         H = H.reshape(-1, n_bins, W, 3)
 
         cum = jnp.cumsum(H, axis=1)                    # left stats for thr=b+1
@@ -227,6 +238,9 @@ def _build_tree(bins_sub, grad, hess, cnt, cfg: GBDTConfig, axis_name=None):
         bf = jnp.where(do_split, bf, 0)
         feat_arr = feat_arr.at[level].set(bf)
         thr_arr = thr_arr.at[level].set(thr)
+        gain_arr = gain_arr.at[level].set(
+            jnp.where(do_split, best_gain, 0.0)
+        )
 
         # route rows: row_bin = bins_sub[n, bf[node[n]]], thr_n = thr[node[n]].
         # NO dynamic gathers (a [N, Fs] take_along_axis is ~100x off roofline
@@ -259,7 +273,7 @@ def _build_tree(bins_sub, grad, hess, cnt, cfg: GBDTConfig, axis_name=None):
         -sums[:, 0] / (sums[:, 1] + cfg.lambda_l2 + 1e-9) * cfg.learning_rate,
         0.0,
     )
-    return feat_arr, thr_arr, leaf, node
+    return feat_arr, thr_arr, gain_arr, leaf, node
 
 
 # ---------------------------------------------------------------------------
@@ -333,7 +347,7 @@ def _train_core(bins, labels_g, mask_g, cfg: GBDTConfig, axis_name=None,
             bins.astype(jnp.bfloat16), sel,
             preferred_element_type=jnp.float32,
         ).astype(jnp.int32)                                        # [N, Fs]
-        feat_l, thr, leaf, node = _build_tree(
+        feat_l, thr, gain, leaf, node = _build_tree(
             bins_sub, grad, hess, cnt, cfg, axis_name
         )
         # leaf[node] as a 2^D-way select (flat 1-D gathers are pathological)
@@ -342,14 +356,16 @@ def _train_core(bins, labels_g, mask_g, cfg: GBDTConfig, axis_name=None,
             add = jnp.where(node == l, leaf[l], add)
         scores = scores + add
         gfeat = feat_idx[feat_l]                                   # global ids
-        return scores, (gfeat, thr, leaf)
+        return scores, (gfeat, thr, gain, leaf)
 
     if scores0 is None:
         scores0 = jnp.zeros(N, jnp.float32)
     if tree_ids is None:
         tree_ids = jnp.arange(cfg.n_trees)
-    scores, (gfeat, thr, leaf) = jax.lax.scan(boost_step, scores0, tree_ids)
-    return gfeat, thr, leaf, scores
+    scores, (gfeat, thr, gain, leaf) = jax.lax.scan(
+        boost_step, scores0, tree_ids
+    )
+    return gfeat, thr, gain, leaf, scores
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -381,7 +397,8 @@ def _train_program_dp(bins, labels_g, mask_g, cfg: GBDTConfig, mesh, axis: str,
         core,
         mesh=mesh,
         in_specs=(P(axis), P(axis), P(axis), P(axis), P()),
-        out_specs=(P(), P(), P(), P(axis)),
+        # split tables + gains come from psum'd histograms -> replicated
+        out_specs=(P(), P(), P(), P(), P(axis)),
         check_vma=False,
     )
     return jax.jit(fn)(bins, labels_g, mask_g, scores0, tree_ids)
@@ -472,6 +489,7 @@ class GBDTRanker:
     thr: np.ndarray          # [T, D, W] split bin threshold (n_bins = no-op)
     leaf: np.ndarray         # [T, 2^D] leaf values
     feature_names: Tuple[str, ...]
+    gains: Optional[np.ndarray] = None  # [T, D, W] split gains (0 = no-op)
 
     def predict_scores_device(self, feats: "jnp.ndarray") -> "jnp.ndarray":
         """Device-resident scoring: feats [..., F] on device -> scores [...]
@@ -511,12 +529,19 @@ class GBDTRanker:
             )[: n - i]
         return out
 
-    def feature_importance(self) -> np.ndarray:
-        """Split-count importance per feature (the reference reports gain
-        importance, model/train_lgbm_rankers.py:132-144; split counts are the
-        cheap dense analogue)."""
+    def feature_importance(self, importance_type: str = "gain") -> np.ndarray:
+        """Per-feature importance (reference reports gain importance,
+        model/train_lgbm_rankers.py:132-144). 'gain' sums split gains,
+        'split' counts splits; gain falls back to split for models trained
+        before gains were recorded."""
         used = self.thr < self.cfg.n_bins
         n_feats = len(self.feature_names)
+        if importance_type == "gain" and self.gains is not None:
+            return np.bincount(
+                self.gfeat[used].reshape(-1),
+                weights=self.gains[used].reshape(-1),
+                minlength=n_feats,
+            )
         return np.bincount(
             self.gfeat[used].reshape(-1), minlength=n_feats
         ).astype(np.int64)
@@ -528,6 +553,11 @@ class GBDTRanker:
             gfeat=self.gfeat,
             thr=self.thr,
             leaf=self.leaf,
+            gains=(
+                self.gains
+                if self.gains is not None
+                else np.zeros((0,), np.float32)
+            ),
             feature_names=np.array(self.feature_names),
             cfg=np.frombuffer(
                 repr(dataclasses.asdict(self.cfg)).encode(), dtype=np.uint8
@@ -540,12 +570,14 @@ class GBDTRanker:
         import ast
 
         cfg = GBDTConfig(**ast.literal_eval(bytes(z["cfg"].tobytes()).decode()))
+        gains = z["gains"] if "gains" in z.files else np.zeros((0,), np.float32)
         return GBDTRanker(
             cfg=cfg,
             edges=z["edges"],
             gfeat=z["gfeat"],
             thr=z["thr"],
             leaf=z["leaf"],
+            gains=gains if gains.size else None,
             feature_names=tuple(z["feature_names"].tolist()),
         )
 
@@ -595,24 +627,26 @@ def train_gbdt_ranker(
     for t0 in range(0, cfg.n_trees, chunk):
         tids = jnp.arange(t0, min(t0 + chunk, cfg.n_trees))
         if mesh is not None:
-            gf, th, lf, scores = _train_program_dp(
+            gf, th, gn, lf, scores = _train_program_dp(
                 bins, lg_d, mg_d, cfg, mesh, mesh_axis,
                 scores0=scores, tree_ids=tids,
             )
         else:
-            gf, th, lf, scores = _train_program(
+            gf, th, gn, lf, scores = _train_program(
                 bins, lg_d, mg_d, cfg, scores0=scores, tree_ids=tids
             )
-        parts.append((gf, th, lf))
+        parts.append((gf, th, gn, lf))
     gfeat = jnp.concatenate([p[0] for p in parts])
     thr = jnp.concatenate([p[1] for p in parts])
-    leaf = jnp.concatenate([p[2] for p in parts])
+    gains = jnp.concatenate([p[2] for p in parts])
+    leaf = jnp.concatenate([p[3] for p in parts])
     model = GBDTRanker(
         cfg=cfg,
         edges=edges,
         gfeat=np.asarray(gfeat),
         thr=np.asarray(thr),
         leaf=np.asarray(leaf),
+        gains=np.asarray(gains),
         feature_names=tuple(feature_names),
     )
     if valid is not None:

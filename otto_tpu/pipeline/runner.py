@@ -178,9 +178,12 @@ class Pipeline:
                 # stage artifact, reference: model/downsample_retrieved.py:
                 # 61-62 per-target dirs) — ranker iteration then skips the
                 # retrieval pass (scripts/exp_gbdt_rows.py)
+                # clip raw count columns into f16 range: values past 65504
+                # share the top quantile bin anyway, inf would poison binning
                 np.savez(
                     self._p(f"downsampled-{tname}.npz"),
-                    feats=feats.astype(np.float16), y=y.astype(np.int8),
+                    feats=np.clip(feats, -65504.0, 65504.0).astype(np.float16),
+                    y=y.astype(np.int8),
                     session=sess,
                 )
                 return feats, y, sess
@@ -282,6 +285,13 @@ class Pipeline:
                 self._p("clusters.npz"), session=sess_ids, cluster=cl_labels
             )
             log.info("kmeans inertia=%.1f iters=%d", inertia, n_iter)
+            # inertia log CSV (reference: model/kmeans_sessions.py:163-165)
+            with open(self._p("kmeans-inertia.csv"), "a") as fh:
+                if fh.tell() == 0:
+                    fh.write("n_clusters,inertia,n_iter,n_points\n")
+                fh.write(
+                    f"{n_clusters},{inertia:.3f},{n_iter},{len(cl_labels)}\n"
+                )
         cl_of_session = dict(
             zip(sess_ids.tolist(), np.asarray(cl_labels).tolist())
         )
@@ -451,6 +461,15 @@ class Pipeline:
                 feats, y, sess, FEATURE_NAMES, cfg.ranker, valid=valid_set
             )
         ranker.save(rpath)
+        if backend == "gbdt":
+            # feature-importance report (reference persists gain-importance
+            # CSVs per model, model/train_lgbm_rankers.py:207-210)
+            imp = ranker.feature_importance("gain")
+            order = np.argsort(-imp)
+            with open(self._p(f"feat-importance-{tname}.csv"), "w") as fh:
+                fh.write("feature,gain_importance\n")
+                for i in order:
+                    fh.write(f"{FEATURE_NAMES[i]},{imp[i]:.6g}\n")
         self._log(f"ranker {tname} ({backend})", t0, f"{len(y)} rows")
         return ranker
 

@@ -36,7 +36,10 @@ def main():
 
     for tname in types:
         z = np.load(os.path.join(work, f"downsampled-{tname}.npz"))
-        feats = z["feats"].astype(np.float32)
+        # older artifacts were saved pre-clip: f16 inf where counts > 65504
+        feats = np.nan_to_num(
+            z["feats"].astype(np.float32), posinf=65504.0, neginf=-65504.0
+        )
         y = z["y"].astype(np.float32)
         sess = z["session"]
         u_sess = np.unique(sess)

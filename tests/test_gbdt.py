@@ -33,12 +33,19 @@ def test_binning_roundtrip():
 
 def test_histogram_matches_bincount_oracle():
     rng = np.random.default_rng(1)
-    n, f, bins, d = 1000, 5, 8, 6
+    n, f, bins, w = 1000, 5, 8, 2
     bn = rng.integers(0, bins, size=(n, f)).astype(np.uint8)
-    ghc = rng.normal(size=(n, d)).astype(np.float32)
-    h = np.asarray(_histograms(jnp.asarray(bn), jnp.asarray(ghc), bins, 256))
+    node = rng.integers(0, w, size=n).astype(np.int32)
+    gh3 = rng.normal(size=(n, 3)).astype(np.float32)
+    h = np.asarray(_histograms(
+        jnp.asarray(bn), jnp.asarray(node), jnp.asarray(gh3), w, bins, 256
+    ))
+    # oracle: the node-weighted gradient block the kernel builds per chunk
+    ghc = (
+        (node[:, None] == np.arange(w))[:, :, None] * gh3[:, None, :]
+    ).reshape(n, w * 3)
     for fi in range(f):
-        for di in range(d):
+        for di in range(w * 3):
             oracle = np.bincount(bn[:, fi], weights=ghc[:, di], minlength=bins)
             # operands are bf16-quantized (f32 accumulate): |err| ~ 2^-9 *
             # sqrt(n_per_bin) in units of the summand scale
@@ -106,6 +113,12 @@ def test_gbdt_save_load_roundtrip(tmp_path):
     np.testing.assert_allclose(model.predict(x[:100]), loaded.predict(x[:100]))
     imp = model.feature_importance()
     assert imp.shape == (10,) and imp.sum() > 0
+    # gain importance: positive where split counts are, preserved on load
+    gain = model.feature_importance("gain")
+    split = model.feature_importance("split")
+    assert gain.shape == (10,) and gain.sum() > 0
+    assert np.all((gain > 0) == (split > 0))
+    np.testing.assert_allclose(loaded.feature_importance("gain"), gain)
 
 
 def test_gbdt_data_parallel_matches_quality():
@@ -146,19 +159,26 @@ def test_gbdt_dp_histogram_reduction_exact():
     from otto_tpu.parallel.mesh import make_mesh
 
     rng = np.random.default_rng(2)
-    n, f, bins, d = 1024, 4, 8, 3
+    n, f, bins, w = 1024, 4, 8, 2
     bn = rng.integers(0, bins, size=(n, f)).astype(np.uint8)
-    ghc = rng.normal(size=(n, d)).astype(np.float32)
+    node = rng.integers(0, w, size=n).astype(np.int32)
+    gh3 = rng.normal(size=(n, 3)).astype(np.float32)
 
     ctx = make_mesh(jax.devices()[:8], data_parallel=8)
     fn = shard_map(
-        _partial(_histograms, n_bins=bins, row_chunk=64, axis_name="data"),
-        mesh=ctx.mesh, in_specs=(P("data"), P("data")), out_specs=P(),
-        check_vma=False,
+        _partial(_histograms, n_nodes_w=w, n_bins=bins, row_chunk=64,
+                 axis_name="data"),
+        mesh=ctx.mesh, in_specs=(P("data"), P("data"), P("data")),
+        out_specs=P(), check_vma=False,
     )
-    h = np.asarray(jax.jit(fn)(jnp.asarray(bn), jnp.asarray(ghc)))
+    h = np.asarray(jax.jit(fn)(
+        jnp.asarray(bn), jnp.asarray(node), jnp.asarray(gh3)
+    ))
+    ghc = (
+        (node[:, None] == np.arange(w))[:, :, None] * gh3[:, None, :]
+    ).reshape(n, w * 3)
     for fi in range(f):
-        for di in range(d):
+        for di in range(w * 3):
             oracle = np.bincount(bn[:, fi], weights=ghc[:, di], minlength=bins)
             np.testing.assert_allclose(h[fi, :, di], oracle, rtol=5e-2, atol=1e-1)
 

@@ -65,6 +65,7 @@ def test_pipeline_produces_all_artifacts(pipeline_metrics):
         "session_emb.npz", "clusters.npz", "ranker-gbdt-clicks.npz",
         "ranker-gbdt-carts.npz", "ranker-gbdt-orders.npz", "submission.csv",
         "eval_retrieved.json", "eval_submission.json",
+        "feat-importance-clicks.csv", "kmeans-inertia.csv",
     ):
         assert os.path.exists(os.path.join(work, f)), f
 

@@ -81,6 +81,127 @@ def pack_sessions(
     return out
 
 
+class FilledSessions(NamedTuple):
+    """Dense rows holding MULTIPLE whole sessions each (shelf packing).
+
+    Pair-grid lanes cost sorts downstream; single-session rows at OTTO
+    session lengths (mean ~4 unique aids, p99 ~38 — reference README.md:18)
+    leave [S, L, L] grids 85-95% dead. Packing whole sessions into full
+    rows cuts lanes/event ~3-4x; the lane-wise `sess` id (-1 padding)
+    lets the pair kernel mask cross-session cells.
+    """
+
+    aid: np.ndarray   # [S, L] int32, -1 padding
+    ts: np.ndarray    # [S, L] int32, 0 padding
+    type: np.ndarray  # [S, L] int32, 0 padding
+    sess: np.ndarray  # [S, L] int32 original session id per lane, -1 padding
+
+    @property
+    def n_rows(self) -> int:
+        return self.aid.shape[0]
+
+    @property
+    def max_len(self) -> int:
+        return self.aid.shape[1]
+
+
+def pack_sessions_filled(
+    ev: Events,
+    bucket_lens: Sequence[int] = (32, 512),
+    keep: str = "last",
+) -> List[FilledSessions]:
+    """Shelf-pack whole sessions, several per row, one batch per bucket.
+
+    Sessions are classed by exact length; a length-l class packs
+    floor(L/l) sessions per row by reshape (fully vectorized, >=51%
+    lane utilization per class). Sessions longer than the largest bucket
+    keep their last `max(bucket_lens)` events, as in pack_sessions.
+    """
+    ev = ev.sort_by_session_ts()
+    sess, starts, ends = _session_spans(ev)
+    lens = (ends - starts).astype(np.int64)
+    buckets = np.asarray(sorted(bucket_lens))
+    max_l = int(buckets[-1])
+    lens_c = np.minimum(lens, max_l)
+    bucket_of = np.searchsorted(buckets, lens_c)
+
+    out: List[FilledSessions] = []
+    for bi, L in enumerate(buckets):
+        m = bucket_of == bi
+        if not m.any():
+            continue
+        b_sess = sess[m].astype(np.int32)
+        b_lens = lens_c[m].astype(np.int64)
+        b_starts = starts[m]
+        b_ends = ends[m]
+        gstart = (b_ends - b_lens) if keep == "last" else b_starts
+
+        # per length class: row index + column offset by reshape arithmetic
+        row_id = np.empty(len(b_sess), np.int64)
+        col_off = np.empty(len(b_sess), np.int64)
+        base_row = 0
+        for l_val in np.unique(b_lens):
+            idx = np.nonzero(b_lens == l_val)[0]
+            k = max(1, int(L // l_val))
+            seq = np.arange(len(idx))
+            row_id[idx] = base_row + seq // k
+            col_off[idx] = (seq % k) * l_val
+            base_row += -(-len(idx) // k)
+
+        S = int(base_row)
+        tot = int(b_lens.sum())
+        within = np.arange(tot) - np.repeat(
+            np.concatenate([[0], np.cumsum(b_lens)[:-1]]), b_lens
+        )
+        src = np.repeat(gstart, b_lens) + within
+        dst = np.repeat(row_id * L + col_off, b_lens) + within
+
+        aid = np.full(S * L, -1, np.int32)
+        ts_ = np.zeros(S * L, np.int32)
+        typ = np.zeros(S * L, np.int32)
+        sid = np.full(S * L, -1, np.int32)
+        aid[dst] = ev.aid[src]
+        ts_[dst] = ev.ts[src]
+        typ[dst] = ev.type[src]
+        sid[dst] = np.repeat(b_sess, b_lens)
+        out.append(
+            FilledSessions(
+                aid.reshape(S, L), ts_.reshape(S, L),
+                typ.reshape(S, L), sid.reshape(S, L),
+            )
+        )
+    return out
+
+
+def pad_filled(p: FilledSessions, to_rows: int) -> FilledSessions:
+    """Pad the row axis up to a static size."""
+    S, L = p.aid.shape
+    if S == to_rows:
+        return p
+    assert S < to_rows
+    pad = to_rows - S
+
+    def _pad(a, fill):
+        return np.concatenate(
+            [a, np.full((pad, L), fill, a.dtype)], axis=0
+        )
+
+    return FilledSessions(
+        _pad(p.aid, -1), _pad(p.ts, 0), _pad(p.type, 0), _pad(p.sess, -1)
+    )
+
+
+def iter_filled_microbatches(
+    p: FilledSessions, batch_size: int, pad_last: bool = True
+) -> Iterator[FilledSessions]:
+    S = p.n_rows
+    for i in range(0, S, batch_size):
+        b = FilledSessions(*(a[i : i + batch_size] for a in p))
+        if pad_last and b.n_rows < batch_size:
+            b = pad_filled(b, batch_size)
+        yield b
+
+
 def pad_batch(p: PaddedSessions, to_sessions: int) -> PaddedSessions:
     """Pad the session axis up to a static size (for fixed jit shapes /
     even device sharding)."""
@@ -111,16 +232,21 @@ def iter_microbatches(
 
 def dedup_events(ev: Events) -> Events:
     """Drop exactly duplicated (session, aid, ts, type) rows
-    (reference: model/count_co_events.py:92 df.unique())."""
-    key = np.stack(
-        [
-            ev.session.astype(np.int64),
-            ev.aid.astype(np.int64),
-            ev.ts.astype(np.int64),
-            ev.type.astype(np.int64),
-        ],
-        axis=1,
+    (reference: model/count_co_events.py:92 df.unique()).
+
+    lexsort + consecutive-equal mask: ~10x faster than
+    np.unique(key, axis=0), which sorts rows as opaque byte strings."""
+    order = np.lexsort((ev.type, ev.ts, ev.aid, ev.session))
+    s = ev.session[order]
+    a = ev.aid[order]
+    t = ev.ts[order]
+    ty = ev.type[order]
+    first = np.empty(len(order), bool)
+    first[:1] = True
+    first[1:] = (
+        (s[1:] != s[:-1]) | (a[1:] != a[:-1]) | (t[1:] != t[:-1])
+        | (ty[1:] != ty[:-1])
     )
-    _, idx = np.unique(key, axis=0, return_index=True)
+    idx = order[first]
     idx.sort()
     return ev.select(idx)

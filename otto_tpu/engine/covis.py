@@ -43,7 +43,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from otto_tpu.config import CoVisConfig
-from otto_tpu.data.batching import dedup_events, iter_microbatches, pack_sessions
+from otto_tpu.data.batching import (
+    dedup_events,
+    iter_filled_microbatches,
+    pack_sessions_filled,
+)
 from otto_tpu.data.schema import Events
 from otto_tpu.ops import counts as counts_ops
 from otto_tpu.ops import pairs as pairs_ops
@@ -129,10 +133,15 @@ def _emit_run_step(
     aid: jnp.ndarray,
     ts: jnp.ndarray,
     type_: jnp.ndarray,
+    sess: Optional[jnp.ndarray] = None,
 ) -> CountTable:
     """Emit one microbatch's type-tagged raw pair run (NO sort — the ladder
-    sorts `arity` runs at a time). One compiled program per bucket shape."""
-    k1, k2, m = pairs_ops.emit_pairs_tagged(aid, ts, type_, plan, pad_to=pad_to)
+    sorts `arity` runs at a time). One compiled program per bucket shape.
+    `sess` is the lane-wise session id of shelf-packed rows; without it a
+    row is one session (legacy single-session packing)."""
+    k1, k2, m = pairs_ops.emit_pairs_tagged(
+        aid, ts, type_, plan, pad_to=pad_to, sess=sess
+    )
     return CountTable(
         aid=jnp.where(m, k1, counts_ops.SENTINEL),
         aid_next=jnp.where(m, k2, counts_ops.SENTINEL),
@@ -157,7 +166,10 @@ class CoVisCounter:
         cfg: CoVisConfig,
         capacity: Optional[int] = None,
         pair_budget: int = 1 << 21,
-        bucket_lens: Sequence[int] = (8, 32, 128, 512),
+        # with shelf packing, lanes/event ~= L / row-fill: favor SMALL row
+        # lengths; one mid bucket suffices for the rare 33..64-event
+        # sessions (real OTTO p99 ~38 unique aids, reference README.md:18)
+        bucket_lens: Sequence[int] = (8, 16, 32, 64, 512),
         arity: int = 4,
         max_run_rows: int = 1 << 25,
     ):
@@ -219,18 +231,26 @@ class CoVisCounter:
     def update(self, events: Events) -> None:
         """Count all co-event pairs in a chunk of sessions. Sessions must be
         complete within the chunk (chunking is by session, as in reference:
-        model/count_co_events.py:83)."""
+        model/count_co_events.py:83).
+
+        Rows are SHELF-PACKED (several whole sessions per row, lane-wise
+        session-id mask): single-session rows leave [S, L, L] pair grids
+        85-95% dead lanes at OTTO session lengths, and lanes — valid or
+        not — are what the emit pass and the ladder's level-0 sorts pay
+        for. Pair semantics are unchanged (tests: chunked == one-shot ==
+        reference-semantics oracle)."""
         ev = dedup_events(events)
-        for padded in pack_sessions(ev, self.bucket_lens):
-            L = padded.max_len
+        for filled in pack_sessions_filled(ev, self.bucket_lens):
+            L = filled.max_len
             s_batch = pairs_ops.pair_budget_sessions(L, self.pair_budget)
-            for mb in iter_microbatches(padded, s_batch):
+            for mb in iter_filled_microbatches(filled, s_batch):
                 run = _emit_run_step(
                     self.plan,
                     self.pair_budget,
                     jnp.asarray(mb.aid),
                     jnp.asarray(mb.ts),
                     jnp.asarray(mb.type),
+                    jnp.asarray(mb.sess),
                 )
                 self._push(0, run)
 

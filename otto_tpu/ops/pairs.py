@@ -127,6 +127,7 @@ def emit_pairs_tagged(
     type_: jnp.ndarray,     # [S, L] int32
     plan: CoVisPlan,
     pad_to: int = 0,
+    sess: jnp.ndarray = None,  # [S, L] int32 lane session id (filled rows)
 ):
     """Emit ONE type-tagged flat pair stream (k1, k2, valid).
 
@@ -138,6 +139,10 @@ def emit_pairs_tagged(
 
     pad_to > 0 pads the flat stream to a static length (uniform ladder run
     size across length buckets); padding lanes are invalid.
+
+    sess (shelf-packed rows holding several whole sessions,
+    data/batching.py::pack_sessions_filled) masks cross-session cells so
+    one row's grid only emits within-session pairs.
     """
     S, L = aid.shape
     valid = aid >= 0
@@ -156,6 +161,8 @@ def emit_pairs_tagged(
         & (dt >= plan.min_time_to_next)
         & (dt <= plan.max_time_to_next)
     )
+    if sess is not None:
+        base = base & (sess[:, :, None] == sess[:, None, :])
 
     adt = jnp.abs(dt)
     tag = jnp.zeros((S, L, L), jnp.int32)

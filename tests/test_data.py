@@ -122,3 +122,62 @@ def test_events_parquet_roundtrip(tmp_path):
     assert np.array_equal(ev.aid, ev2.aid)
     assert np.array_equal(ev.ts, ev2.ts)
     assert np.array_equal(ev.type, ev2.type)
+
+
+def test_pack_sessions_filled_preserves_sessions():
+    from otto_tpu.data.batching import pack_sessions_filled
+
+    ev = generate(SyntheticSpec(n_sessions=400, n_aids=300, max_len=40, seed=4))
+    filled = pack_sessions_filled(ev, bucket_lens=(8, 64))
+    # every event lands in exactly one lane, with its session id
+    got = {}
+    for f in filled:
+        m = f.sess >= 0
+        assert np.all(f.aid[m] >= 0)
+        assert np.all(f.aid[~m] == -1)
+        for r in range(f.n_rows):
+            row_m = m[r]
+            for s in np.unique(f.sess[r][row_m]):
+                sm = f.sess[r] == s
+                # a session's lanes are contiguous and ts-sorted
+                pos = np.nonzero(sm)[0]
+                assert np.all(np.diff(pos) == 1)
+                assert np.all(np.diff(f.ts[r][sm]) >= 0)
+                assert s not in got  # whole session in ONE row
+                got[int(s)] = (f.aid[r][sm], f.ts[r][sm], f.type[r][sm])
+    assert len(got) == len(np.unique(ev.session))
+    # per-session event content matches the raw table (no truncation here)
+    order = np.lexsort((ev.ts, ev.session))
+    sess_sorted = ev.session[order]
+    for s in np.unique(ev.session)[:50]:
+        sm = sess_sorted == s
+        np.testing.assert_array_equal(got[int(s)][0], ev.aid[order][sm])
+
+
+def test_pack_sessions_filled_fills_rows():
+    from otto_tpu.data.batching import pack_sessions_filled
+
+    # 10 sessions of length 4 pack 8-per-row into 32-lane rows
+    n, l = 10, 4
+    ev = Events(
+        session=np.repeat(np.arange(n, dtype=np.int32), l),
+        aid=np.tile(np.arange(l, dtype=np.int32) + 1, n),
+        ts=np.tile(np.arange(l, dtype=np.int32), n),
+        type=np.zeros(n * l, np.int8),
+    )
+    (f,) = pack_sessions_filled(ev, bucket_lens=(32,))
+    assert f.n_rows == 2  # ceil(10 / 8)
+    assert int((f.sess >= 0).sum()) == n * l
+
+
+def test_pack_sessions_filled_truncates_to_last():
+    from otto_tpu.data.batching import pack_sessions_filled
+
+    ev = Events(
+        session=np.zeros(10, np.int32),
+        aid=np.arange(10, dtype=np.int32),
+        ts=np.arange(10, dtype=np.int32),
+        type=np.zeros(10, np.int8),
+    )
+    (f,) = pack_sessions_filled(ev, bucket_lens=(4,))
+    assert f.aid[0].tolist() == [6, 7, 8, 9]

@@ -99,16 +99,39 @@ def _kmeanspp_init_device(x, k: int, key):
     return centers
 
 
-@partial(jax.jit, static_argnums=(1, 3))
-def _fit_program(x, k: int, max_iter, init_sample: int, tol_thresh, key):
+def _fit_core(x, k: int, max_iter, init_sample: int, tol, key,
+              axis_name=None):
     """Seeding + Lloyd-until-tol in ONE dispatch; returns
     (centroids, labels, inertia, n_iter).
 
     Seeding runs on a random subsample: k-means++ is k-1 SEQUENTIAL
     distance passes — on full data that costs as much as ~k extra Lloyd
     iterations while contributing only a starting point. At k=50 over
-    millions of points a 64k-point D^2 sample seeds indistinguishably."""
+    millions of points a 64k-point D^2 sample seeds indistinguishably.
+
+    The sklearn tol threshold (tol * mean per-feature variance) is
+    computed HERE: on the host it pulls the whole matrix through the
+    tunnel + a 2-core numpy variance — measured as ~4 s of the ~4.1 s
+    total fit time at 500k x 100 (the fused device fit is ~35 ms).
+
+    With axis_name (inside shard_map), x is the per-device point shard —
+    the dask_ml distributed-KMeans analogue (reference:
+    model/kmeans_sessions.py:144-150): the tol threshold comes from
+    psum'd global moments, the init subsample is drawn per shard and
+    all-gathered so every device seeds IDENTICAL centers, and each Lloyd
+    step psums per-cluster (sum, count) — so all devices step through
+    identical centroids and the while_loop exits in lockstep."""
+    if axis_name is not None:
+        n = jax.lax.psum(jnp.float32(x.shape[0]), axis_name)
+        s1 = jax.lax.psum(jnp.sum(x, axis=0), axis_name)
+        s2 = jax.lax.psum(jnp.sum(x * x, axis=0), axis_name)
+        mean = s1 / n
+        tol_thresh = tol * jnp.mean(s2 / n - mean * mean)
+    else:
+        tol_thresh = tol * jnp.mean(jnp.var(x, axis=0))
     kseed, kinit = jax.random.split(key)
+    if axis_name is not None:
+        kseed = jax.random.fold_in(kseed, jax.lax.axis_index(axis_name))
     if init_sample and init_sample < x.shape[0]:
         idx = jax.random.choice(
             kseed, x.shape[0], (init_sample,), replace=False
@@ -116,6 +139,10 @@ def _fit_program(x, k: int, max_iter, init_sample: int, tol_thresh, key):
         x_init = x[idx]
     else:
         x_init = x
+    if axis_name is not None:
+        x_init = jax.lax.all_gather(x_init, axis_name).reshape(
+            -1, x.shape[1]
+        )
     centroids = _kmeanspp_init_device(x_init, k, kinit)
 
     def cond(carry):
@@ -124,7 +151,7 @@ def _fit_program(x, k: int, max_iter, init_sample: int, tol_thresh, key):
 
     def body(carry):
         c, _, _, it = carry
-        new, inertia, shift = _lloyd_body(x, c)
+        new, inertia, shift = _lloyd_body(x, c, axis_name)
         return new, inertia, shift, it + 1
 
     init = (centroids, jnp.float32(jnp.inf), jnp.float32(jnp.inf),
@@ -132,6 +159,11 @@ def _fit_program(x, k: int, max_iter, init_sample: int, tol_thresh, key):
     centroids, inertia, _, n_iter = jax.lax.while_loop(cond, body, init)
     labels, _ = assign(x, centroids)
     return centroids, labels, inertia, n_iter
+
+
+@partial(jax.jit, static_argnums=(1, 3))
+def _fit_program(x, k: int, max_iter, init_sample: int, tol, key):
+    return _fit_core(x, k, max_iter, init_sample, tol, key)
 
 
 def kmeans_fit(
@@ -150,13 +182,55 @@ def kmeans_fit(
     the centroid shift drops below tol * mean per-feature variance.
     """
     xd = jnp.asarray(x, jnp.float32)
-    thresh = jnp.float32(tol * float(np.mean(np.var(x, axis=0))))
     key = jax.random.PRNGKey(seed)
     # max_iter and tol ride as traced scalars: ONE compiled program per
     # (data shape, k) regardless of iteration budget (a static max_iter
     # meant every budget change paid a fresh remote compile)
     centroids, labels, inertia, n_iter = _fit_program(
-        xd, n_clusters, jnp.int32(max_iter), int(init_sample), thresh, key
+        xd, n_clusters, jnp.int32(max_iter), int(init_sample),
+        jnp.float32(tol), key
     )
+    return (np.asarray(centroids), np.asarray(labels), float(inertia),
+            int(n_iter))
+
+
+def kmeans_fit_dp(
+    x: np.ndarray,
+    n_clusters: int,
+    mesh,
+    axis: str = "data",
+    max_iter: int = 100,
+    tol: float = 1e-3,
+    seed: int = 42,
+    init_sample: int = 1 << 16,
+) -> Tuple[np.ndarray, np.ndarray, float, int]:
+    """Data-parallel kmeans_fit: points row-sharded over `axis`, per-level
+    (sum, count) psum — the dask_ml distributed KMeans analogue
+    (reference: model/kmeans_sessions.py:144-150). Rows must divide the
+    mesh axis; pad with copies of row 0 and drop the tail labels if not."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    n_dev = mesh.shape[axis]
+    if x.shape[0] % n_dev:
+        raise ValueError(f"rows {x.shape[0]} % mesh axis {n_dev} != 0")
+    per_dev_sample = max(1, init_sample // n_dev)
+
+    def core(xs, key):
+        return _fit_core(
+            xs, n_clusters, jnp.int32(max_iter), per_dev_sample,
+            jnp.float32(tol), key, axis_name=axis,
+        )
+
+    fn = shard_map(
+        core, mesh=mesh,
+        in_specs=(P(axis), P()),
+        out_specs=(P(), P(axis), P(), P()),
+        check_vma=False,
+    )
+    key = jax.random.PRNGKey(seed)
+    centroids, labels, inertia, n_iter = jax.jit(
+        fn, static_argnums=()
+    )(jnp.asarray(x, jnp.float32), key)
     return (np.asarray(centroids), np.asarray(labels), float(inertia),
             int(n_iter))

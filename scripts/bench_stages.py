@@ -172,8 +172,12 @@ def main():
         x = np.asarray(jnp.asarray(np.random.default_rng(1).normal(
             size=(min(NS, 500_000), 100)).astype(np.float32)))
         kmeans_fit(x, 50, max_iter=3, tol=0.0, seed=0)  # warmup
+        # reference budget: <=100 Lloyd iterations (model/kmeans_sessions.py:
+        # 147, its 896k pt-it/s assumes the full 100). Host->device upload is
+        # included, mirroring the reference's HDF5 read; it dominates — the
+        # fused device fit itself is ~45 ms at 500k x 100 x 100 iters.
         t = time.time()
-        iters = 10
+        iters = 100
         kmeans_fit(x, 50, max_iter=iters, tol=0.0, seed=0)
         emit("kmeans_point_iters_per_s", len(x) * iters / (time.time() - t),
              "point-iters/s", 896_000)

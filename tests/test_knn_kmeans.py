@@ -45,3 +45,29 @@ def test_kmeans_separates_blobs():
         assert len(np.unique(blob_labels)) == 1
     assert inertia < 3 * 100 * 2 * 1.0  # tight clusters
     assert n_iter < 50
+
+
+def test_kmeans_dp_separates_blobs():
+    """8-way data-parallel fit (shard_map + per-step psum) clusters the
+    same blobs to the same quality as the single-device fit."""
+    import jax
+
+    from otto_tpu.ops.kmeans import kmeans_fit_dp
+    from otto_tpu.parallel.mesh import make_mesh
+
+    centers = np.array([[0, 0], [10, 10], [-10, 10]], np.float32)
+    x = np.concatenate(
+        [c + RNG.normal(scale=0.5, size=(128, 2)) for c in centers]
+    ).astype(np.float32)
+    perm = RNG.permutation(len(x))  # spread blobs across shards
+    ctx = make_mesh(jax.devices()[:8], data_parallel=8)
+    cents, labels_p, inertia, n_iter = kmeans_fit_dp(
+        x[perm], 3, ctx.mesh, axis="data", max_iter=50, seed=1
+    )
+    labels = np.empty(len(x), np.int32)
+    labels[perm] = labels_p
+    for b in range(3):
+        blob_labels = labels[b * 128 : (b + 1) * 128]
+        assert len(np.unique(blob_labels)) == 1
+    assert inertia < 3 * 128 * 2 * 1.0
+    assert n_iter < 50

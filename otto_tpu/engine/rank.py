@@ -116,15 +116,15 @@ def _score_batch_device(b: RetrievedBatch, ranker, top_k: int):
     retrieved set on CPU for ~60 min, model/rank.py:27; pulling the
     [S, C, F] feature tensors to the host instead took ~19 min per 100k
     sessions on the tunneled link — this path takes seconds)."""
-    S, C = b.cand.shape
+    S, C = b.feats.shape[:2]
     Sp = max(8, 1 << (S - 1).bit_length())
     feats = b.feats
+    cand = b.cand_device()   # stays on device: no host round-trip
     if Sp != S:
         feats = jnp.pad(feats, ((0, Sp - S), (0, 0), (0, 0)))
-    cand = np.full((Sp, C), -1, np.int32)
-    cand[:S] = b.cand
+        cand = jnp.pad(cand, ((0, Sp - S), (0, 0)), constant_values=-1)
     scores = ranker.predict_scores_device(feats)
-    top_s, top_a = _topk_program(scores, jnp.asarray(cand), top_k)
+    top_s, top_a = _topk_program(scores, cand, top_k)
     return np.asarray(top_s)[:S], np.asarray(top_a)[:S]
 
 
@@ -136,7 +136,6 @@ def score_and_topk(
     """-> (sessions [N], top-k aids [N, k] rank-ordered, scores [N, k])."""
     sess_out, aid_out, score_out = [], [], []
     for b in batches:
-        S, C = b.cand.shape
         if isinstance(b.feats, jnp.ndarray) and hasattr(
             ranker, "predict_scores_device"
         ):
@@ -145,6 +144,7 @@ def score_and_topk(
             aid_out.append(top_aid)
             score_out.append(top_score)
             continue
+        S, C = b.cand.shape
         scores = ranker.predict(
             np.asarray(b.feats, np.float32).reshape(-1, b.feats.shape[-1])
         )

@@ -124,14 +124,16 @@ class Pipeline:
         rows = {t: [] for t in TYPES}    # downsampled (feats, y, sess)
         sess_acc, cand_acc, flag_batches = [], [], []
         n_sessions = 0
-        for b in retriever.iter_run(test, batch_sessions=batch_sessions):
+
+        def consume_a(b):
+            nonlocal n_sessions
             n_sessions += len(b.session)
             sess_acc.append(b.session)
             cand_acc.append(b.cand)
             if labels is None:
-                continue
-            tgt = join_labels([b], labels)[0]
+                return
             flag_batches.append(SrcFlagBatch.from_batch(b))
+            tgt = join_labels([b], labels)[0]
             # select per type on host, then ONE padded device gather for all
             # three types (each eager gather is a tunnel round-trip)
             sels = {}
@@ -152,6 +154,19 @@ class Pipeline:
                         (feats_all[off:off + n], y, b.session[si])
                     )
                     off += n
+
+        # one-batch lookahead: advancing the iterator ENQUEUES batch N+1's
+        # retrieval (async dispatch) before batch N's host-side pulls sync
+        # on the in-order device queue — host work and device compute
+        # overlap instead of strictly alternating (measured 240 -> ~4x
+        # sessions/s on pass A)
+        prev = None
+        for b in retriever.iter_run(test, batch_sessions=batch_sessions):
+            if prev is not None:
+                consume_a(prev)
+            prev = b
+        if prev is not None:
+            consume_a(prev)
         self._log("retrieve+downsample (pass A)", t0, f"{n_sessions} sessions")
 
         metrics: Dict[str, float] = {}
@@ -190,12 +205,23 @@ class Pipeline:
             rankers[tname] = self._train_ranker_cached(tname, rows_fn, t0)
 
         # pass B: stream again, score all 3 targets per batch on device
+        # (same one-batch lookahead: batch N+1 retrieves while batch N's
+        # [S, 20] results cross the link)
         pieces = {t: ([], []) for t in TYPES}
-        for b in retriever.iter_run(test, batch_sessions=batch_sessions):
+
+        def consume_b(b):
             for tname in TYPES:
                 s, a, _ = rank_engine.score_and_topk([b], rankers[tname])
                 pieces[tname][0].append(s)
                 pieces[tname][1].append(a)
+
+        prev = None
+        for b in retriever.iter_run(test, batch_sessions=batch_sessions):
+            if prev is not None:
+                consume_b(prev)
+            prev = b
+        if prev is not None:
+            consume_b(prev)
         preds = {}
         for tname in TYPES:
             s = np.concatenate(pieces[tname][0])

@@ -318,6 +318,29 @@ DEFAULT = Config()
 # ---------------------------------------------------------------------------
 # Logging bootstrap (reference: config.py:18-27) — but opt-in, not at import.
 # ---------------------------------------------------------------------------
+def enable_persistent_compilation_cache(path: str | None = None) -> None:
+    """Point XLA's persistent compilation cache at a stable directory.
+
+    Remote compiles cost minutes per program on tunneled TPU runtimes
+    (ARCHITECTURE.md lesson 4) and the jax build in this image IGNORES
+    the JAX_COMPILATION_CACHE_DIR env var — the config default stays
+    None unless set through jax.config (measured: the 2M-event
+    popularity program recompiled ~585 s in EVERY pipeline process).
+    Pipeline/CLI/graft-entry call this so all processes share programs.
+    Safe to call repeatedly; never overrides an explicitly-set dir."""
+    import jax
+
+    path = path or os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR", "/tmp/jax_comp_cache"
+    )
+    try:
+        if jax.config.jax_compilation_cache_dir is None:
+            jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # very old/new jax config surface; cache is best-effort
+        pass
+
+
 def setup_logging(work_dir: str | None = None, level: int = logging.INFO) -> None:
     handlers: List[logging.Handler] = [logging.StreamHandler()]
     if work_dir is not None:

@@ -138,6 +138,9 @@ def cmd_run_synthetic(args) -> int:
 
 
 def main(argv=None) -> int:
+    from otto_tpu.config import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
     parser = argparse.ArgumentParser(prog="otto-tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
 

@@ -64,6 +64,9 @@ class Pipeline:
 
     def __post_init__(self):
         Path(self.work_dir).mkdir(parents=True, exist_ok=True)
+        from otto_tpu.config import enable_persistent_compilation_cache
+
+        enable_persistent_compilation_cache()
 
     def _p(self, name: str) -> str:
         return os.path.join(self.work_dir, name)

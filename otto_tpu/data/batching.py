@@ -235,18 +235,41 @@ def dedup_events(ev: Events) -> Events:
     (reference: model/count_co_events.py:92 df.unique()).
 
     lexsort + consecutive-equal mask: ~10x faster than
-    np.unique(key, axis=0), which sorts rows as opaque byte strings."""
-    order = np.lexsort((ev.type, ev.ts, ev.aid, ev.session))
-    s = ev.session[order]
-    a = ev.aid[order]
-    t = ev.ts[order]
-    ty = ev.type[order]
-    first = np.empty(len(order), bool)
-    first[:1] = True
-    first[1:] = (
-        (s[1:] != s[:-1]) | (a[1:] != a[:-1]) | (t[1:] != t[:-1])
-        | (ty[1:] != ty[:-1])
-    )
+    np.unique(key, axis=0), which sorts rows as opaque byte strings.
+    When (aid, ts, type) fit 62 bits (aid < 2^29, 0 <= ts, type < 4 — always
+    true for OTTO-shaped data) they pack into ONE int64 minor key, halving
+    the lexsort passes (~2x on the host-side share of covis counting)."""
+    a64 = ev.aid.astype(np.int64)
+    t64 = ev.ts.astype(np.int64)
+    y64 = ev.type.astype(np.int64)
+    if (
+        len(ev)
+        and 0 <= a64.min()
+        and a64.max() < (1 << 29)
+        and 0 <= t64.min()
+        and t64.max() < (1 << 31)
+        and 0 <= y64.min()
+        and y64.max() < 4
+    ):
+        packed = (a64 << 33) | (t64 << 2) | y64
+        order = np.lexsort((packed, ev.session))
+        s = ev.session[order]
+        p = packed[order]
+        first = np.empty(len(order), bool)
+        first[:1] = True
+        first[1:] = (s[1:] != s[:-1]) | (p[1:] != p[:-1])
+    else:
+        order = np.lexsort((ev.type, ev.ts, ev.aid, ev.session))
+        s = ev.session[order]
+        a = ev.aid[order]
+        t = ev.ts[order]
+        ty = ev.type[order]
+        first = np.empty(len(order), bool)
+        first[:1] = True
+        first[1:] = (
+            (s[1:] != s[:-1]) | (a[1:] != a[:-1]) | (t[1:] != t[:-1])
+            | (ty[1:] != ty[:-1])
+        )
     idx = order[first]
     idx.sort()
     return ev.select(idx)

@@ -167,9 +167,16 @@ class CoVisCounter:
         capacity: Optional[int] = None,
         pair_budget: int = 1 << 21,
         # with shelf packing, lanes/event ~= L / row-fill: favor SMALL row
-        # lengths; one mid bucket suffices for the rare 33..64-event
-        # sessions (real OTTO p99 ~38 unique aids, reference README.md:18)
-        bucket_lens: Sequence[int] = (8, 16, 32, 64, 512),
+        # lengths. Pair volume is QUADRATIC in session length, so the rare
+        # mid/long sessions dominate lane volume and deserve fine bucket
+        # granularity: rounding a length-l class up to the next power of two
+        # costs up to 4x lanes ((2l)^2/l^2), measured 25% of total volume at
+        # OTTO-like length skew. Each bucket costs one emit-program compile
+        # (cached persistently); ladder merge programs are shared (uniform
+        # pad_to). Real OTTO p99 ~38 unique aids, reference README.md:18.
+        bucket_lens: Sequence[int] = (
+            8, 16, 24, 32, 48, 64, 96, 128, 192, 256, 512
+        ),
         arity: int = 4,
         max_run_rows: int = 1 << 25,
     ):
@@ -196,30 +203,60 @@ class CoVisCounter:
         while arity ** (levels + 1) * pair_budget <= max_run_rows:
             levels += 1
         self.n_levels = levels
-        self._runs: List[List[CountTable]] = [[] for _ in range(levels)]
+        # per level: (run, needs_occupancy_squeeze) pending entries
+        self._runs: List[List[Tuple[CountTable, bool]]] = [
+            [] for _ in range(levels)
+        ]
         self._top: CountTable = counts_ops.empty_table(self.capacity)
         self._min_in_part = tuple(
             max(1, cfg.min_count_in_part.get(name, 1)) for name in cfg.names
         )
 
-    def _push(self, level: int, run: CountTable) -> None:
+    def _push(self, level: int, run: CountTable, compacted: bool = False) -> None:
+        """compacted=True marks merged (front-compacted) runs that still
+        need the occupancy squeeze; raw level-0 runs are already size P."""
         if level >= self.n_levels:
             self._top = counts_ops.merge_bounded_tagged(
-                self._top, run, self._min_in_part, pairs_ops.AID_STRIDE
+                self._top,
+                self._squeeze(run) if compacted else run,
+                self._min_in_part,
+                pairs_ops.AID_STRIDE,
             )
             return
-        self._runs[level].append(run)
+        self._runs[level].append((run, compacted))
         if len(self._runs[level]) == self.arity:
-            merged = counts_ops.merge_runs_compact(tuple(self._runs[level]))
-            self._runs[level] = []
-            self._push(level + 1, self._squeeze(merged))
+            entries, self._runs[level] = self._runs[level], []
+            if not any(c for _, c in entries):
+                # all-raw (level 0): unit counts — keys-only sort variant
+                merged = counts_ops.merge_runs_compact_raw(tuple(
+                    r for r, _ in entries
+                ))
+            else:
+                merged = counts_ops.merge_runs_compact(tuple(
+                    self._squeeze(r) if c else r for r, c in entries
+                ))
+            self._push(level + 1, self._lazy_occupancy(merged), compacted=True)
+
+    @staticmethod
+    def _lazy_occupancy(t: CountTable) -> CountTable:
+        """Schedule the occupancy scalar's device->host transfer WITHOUT
+        blocking. The squeeze decision is deferred until the run is
+        consumed (arity microbatches later), by which point the transfer
+        has long completed — the eager int(t.n) here used to hard-sync the
+        whole device queue once per level merge (~21 pipeline bubbles per
+        200k-session chunk)."""
+        try:
+            t.n.copy_to_host_async()
+        except Exception:
+            pass
+        return t
 
     def _squeeze(self, t: CountTable) -> CountTable:
         """Slice a compacted run down to the smallest power-of-two-of-P size
         holding its uniques. Raw pair grids are ~80-90% padding/invalid
         lanes (dt window + session padding), so without this every ladder
-        level sorts mostly dead rows; the occupancy fetch costs one ~23 ms
-        tunnel round-trip per arity microbatches."""
+        level sorts mostly dead rows. Occupancy was async-prefetched at
+        merge time (_lazy_occupancy), so int() rarely blocks."""
         n = int(t.n)
         size = self.pair_budget
         while size < n:
@@ -257,10 +294,13 @@ class CoVisCounter:
     def _drain(self) -> None:
         """Fold all pending ladder runs into the bounded top table."""
         for level in range(self.n_levels):
-            runs, self._runs[level] = self._runs[level], []
-            for run in runs:
+            entries, self._runs[level] = self._runs[level], []
+            for run, compacted in entries:
                 self._top = counts_ops.merge_bounded_tagged(
-                    self._top, run, self._min_in_part, pairs_ops.AID_STRIDE
+                    self._top,
+                    self._squeeze(run) if compacted else run,
+                    self._min_in_part,
+                    pairs_ops.AID_STRIDE,
                 )
 
     @property

@@ -127,6 +127,35 @@ def merge_runs_compact_impl(runs: Tuple[CountTable, ...]) -> CountTable:
 merge_runs_compact = jax.jit(merge_runs_compact_impl)
 
 
+def merge_runs_compact_raw_impl(runs: Tuple[CountTable, ...]) -> CountTable:
+    """merge_runs_compact specialized to RAW unit-count runs (count == 1 on
+    every valid row, exactly as the pair grids emit them): the count column
+    is DERIVED from segment lengths after a keys-only sort — the dominant
+    level-0 ladder sort carries 2 operands instead of 3, and the value
+    scan collapses to one cummax. Semantics: groupby(k1, k2).count
+    (reference: model/count_co_events.py:64-72)."""
+    k1 = jnp.concatenate([r.aid for r in runs])
+    k2 = jnp.concatenate([r.aid_next for r in runs])
+    k1s, k2s = lax.sort((k1, k2), num_keys=2)
+    first = (k1s != seg._shift_right(k1s, seg.NEG_SENTINEL)) | (
+        k2s != seg._shift_right(k2s, seg.NEG_SENTINEL)
+    )
+    n = k1s.shape[0]
+    pos = lax.broadcasted_iota(jnp.int32, (n,), 0)
+    start = lax.cummax(jnp.where(first, pos, 0))
+    length = pos - start + 1
+    is_end = seg._shift_left(first, True) & (k1s != SENTINEL)
+    ck1 = jnp.where(is_end, k1s, SENTINEL)
+    ck2 = jnp.where(is_end, k2s, SENTINEL)
+    uk1, uk2, uv = lax.sort((ck1, ck2, length), num_keys=2)
+    uv = jnp.where(uk1 == SENTINEL, 0, uv)
+    n_unique = jnp.sum(is_end).astype(jnp.int32)
+    return CountTable(uk1, uk2, uv, n_unique)
+
+
+merge_runs_compact_raw = jax.jit(merge_runs_compact_raw_impl)
+
+
 @partial(jax.jit, static_argnums=(1,))
 def slice_table(t: CountTable, size: int) -> CountTable:
     """First `size` rows of a COMPACTED table (caller guarantees n <= size)."""

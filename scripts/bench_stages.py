@@ -216,7 +216,7 @@ def main():
              NG * G * gcfg.trees_per_dispatch / (time.time() - t),
              "row-trees/s", 1.2e6)
 
-        gfeat, thr, leaf, _ = out
+        gfeat, thr, _gain, leaf, _scores = out
         sc = _predict_binned_program(bins, gfeat, thr, leaf, gcfg.n_bins)
         device_sync(sc)
         t = time.time()

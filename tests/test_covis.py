@@ -165,3 +165,27 @@ def test_covis_counter_ladder_equals_direct():
     for name in cfg.names:
         t3 = table_to_dict(counts_ops.finalize(resumed.tables[name], 1, 10**9))
         assert ref[name] == t3, f"drain-resume counting diverged for {name}"
+
+
+def test_merge_runs_compact_raw_matches_general():
+    """The keys-only raw-run merge must equal the payload-carrying one on
+    unit-count runs (the exact shape _emit_run_step produces)."""
+    rng = np.random.default_rng(11)
+    runs = []
+    for _ in range(4):
+        m = rng.random(256) < 0.6
+        k1 = np.where(m, rng.integers(0, 40, 256), SENT).astype(np.int32)
+        k2 = np.where(m, rng.integers(0, 40, 256), SENT).astype(np.int32)
+        runs.append(counts_ops.CountTable(
+            aid=jnp.asarray(k1),
+            aid_next=jnp.asarray(k2),
+            count=jnp.asarray(m.astype(np.int32)),
+            n=jnp.asarray(m.sum(), jnp.int32),
+        ))
+    ref = counts_ops.merge_runs_compact(tuple(runs))
+    raw = counts_ops.merge_runs_compact_raw(tuple(runs))
+    assert int(ref.n) == int(raw.n)
+    np.testing.assert_array_equal(np.asarray(ref.aid), np.asarray(raw.aid))
+    np.testing.assert_array_equal(
+        np.asarray(ref.aid_next), np.asarray(raw.aid_next))
+    np.testing.assert_array_equal(np.asarray(ref.count), np.asarray(raw.count))

@@ -255,6 +255,15 @@ class GBDTConfig:
     lambda_norm: bool = True         # LightGBM per-query lambda normalization
     max_group: int = 128             # padded candidates per session group
     seed: int = 42
+    # Periodic valid ndcg@20 every N trees (the reference logs eval every 25
+    # iterations, reference: config.py:223-227 'verbose': 25) + best-iter
+    # tracking (reference: utils.py:77-93). 0 disables periodic eval (one
+    # final eval only).
+    eval_every: int = 25
+    # Stop when valid ndcg hasn't improved for N trees; the best-iter model
+    # is kept. 0 = off (the reference ships early_stopping commented out,
+    # reference: config.py:225).
+    early_stopping_rounds: int = 0
 
     # device-shape knobs (tune for HBM, not quality)
     row_chunk: int = 1 << 14         # rows per histogram matmul chunk
@@ -313,6 +322,49 @@ class Config:
 
 
 DEFAULT = Config()
+
+
+# ---------------------------------------------------------------------------
+# Config persistence: the work dir is the artifact contract between stages
+# (reference keeps one config.py fixed across its 15 scripts); persisting the
+# config there lets inference-only runs (rank/submit) reload exactly the
+# configuration the artifacts were built with.
+# ---------------------------------------------------------------------------
+def _coerce_tuples(obj):
+    """JSON round-trip turns tuples into lists; every sequence field in the
+    config dataclasses is a Tuple, so coerce all lists back recursively."""
+    if isinstance(obj, list):
+        return tuple(_coerce_tuples(x) for x in obj)
+    if isinstance(obj, dict):
+        return {k: _coerce_tuples(v) for k, v in obj.items()}
+    return obj
+
+
+def config_to_json(cfg: Config, path: str) -> None:
+    import json
+
+    with open(path, "w") as fh:
+        json.dump(dataclasses.asdict(cfg), fh, indent=2)
+
+
+def config_from_json(path: str) -> Config:
+    import json
+
+    with open(path) as fh:
+        d = _coerce_tuples(json.load(fh))
+    return Config(
+        work_dir=d.get("work_dir", "artifacts"),
+        covis=CoVisConfig(**d["covis"]),
+        retrieval=RetrievalConfig(**d["retrieval"]),
+        w2vec={k: Word2VecConfig(**v) for k, v in d["w2vec"].items()},
+        kmeans=KMeansConfig(**d["kmeans"]),
+        popularity=PopularityConfig(**d["popularity"]),
+        ranker=RankerConfig(**d["ranker"]),
+        gbdt=GBDTConfig(**d["gbdt"]),
+        ranker_backend=d.get("ranker_backend", "gbdt"),
+        data=DataConfig(**d["data"]),
+        mesh=MeshConfig(**d["mesh"]),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -244,11 +244,18 @@ class CoVisCounter:
         consumed (arity microbatches later), by which point the transfer
         has long completed — the eager int(t.n) here used to hard-sync the
         whole device queue once per level merge (~21 pipeline bubbles per
-        200k-session chunk)."""
+        200k-session chunk).
+
+        Memory tradeoff: deferring the squeeze means pending ladder runs
+        are held UNSQUEEZED (capacity = sum of input capacities, up to
+        arity^k * P each) until consumed — up to ~arity x more device
+        memory per pending run than the squeezed form. Still within the
+        documented (arity-1) * sum_k arity^k * P worst case; lower
+        `max_run_rows` if HBM headroom is tight."""
         try:
             t.n.copy_to_host_async()
-        except Exception:
-            pass
+        except (AttributeError, NotImplementedError):
+            pass  # tracer or backend without async copy: squeeze will sync
         return t
 
     def _squeeze(self, t: CountTable) -> CountTable:

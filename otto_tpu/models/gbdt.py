@@ -490,6 +490,11 @@ class GBDTRanker:
     leaf: np.ndarray         # [T, 2^D] leaf values
     feature_names: Tuple[str, ...]
     gains: Optional[np.ndarray] = None  # [T, D, W] split gains (0 = no-op)
+    # best valid iteration/score (reference: utils.py:77-93 extracts
+    # best_iteration_/best_score_; falls back to n_estimators when no
+    # valid set / no early stopping)
+    best_iter: int = -1                 # -1 = unknown -> len(leaf)
+    best_score: float = float("nan")    # valid ndcg@k at best_iter
 
     def predict_scores_device(self, feats: "jnp.ndarray") -> "jnp.ndarray":
         """Device-resident scoring: feats [..., F] on device -> scores [...]
@@ -559,6 +564,7 @@ class GBDTRanker:
                 else np.zeros((0,), np.float32)
             ),
             feature_names=np.array(self.feature_names),
+            best=np.array([float(self.best_iter), self.best_score], np.float64),
             cfg=np.frombuffer(
                 repr(dataclasses.asdict(self.cfg)).encode(), dtype=np.uint8
             ),
@@ -571,6 +577,7 @@ class GBDTRanker:
 
         cfg = GBDTConfig(**ast.literal_eval(bytes(z["cfg"].tobytes()).decode()))
         gains = z["gains"] if "gains" in z.files else np.zeros((0,), np.float32)
+        best = z["best"] if "best" in z.files else np.array([-1.0, np.nan])
         return GBDTRanker(
             cfg=cfg,
             edges=z["edges"],
@@ -579,6 +586,8 @@ class GBDTRanker:
             leaf=z["leaf"],
             gains=gains if gains.size else None,
             feature_names=tuple(z["feature_names"].tolist()),
+            best_iter=int(best[0]),
+            best_score=float(best[1]),
         )
 
 
@@ -621,9 +630,35 @@ def train_gbdt_ranker(
     # the chunked run is bit-identical to the fused one
     lg_d, mg_d = jnp.asarray(lg), jnp.asarray(mg)
     chunk = max(1, int(getattr(cfg, "trees_per_dispatch", cfg.n_trees)))
-    # explicit zeros (not None) so every chunk reuses ONE compiled program
-    scores = jnp.zeros(bins.shape[0], jnp.float32)
+
+    # periodic valid ndcg (reference logs eval every 25 iterations,
+    # config.py:223-227) rides the dispatch-chunk boundaries: with a valid
+    # set and eval_every > 0, chunks shrink to land on eval points. Valid
+    # scores ACCUMULATE across chunks (one [Mv]-score program per chunk's
+    # new trees) — per-eval full re-prediction would be quadratic in trees.
+    eval_every = int(getattr(cfg, "eval_every", 0) or 0)
+    es_rounds = int(getattr(cfg, "early_stopping_rounds", 0) or 0)
+    vbins = vlg_d = vmg_d = None
+    vscores_acc = None
+    if valid is not None:
+        vf, vl, vs = valid
+        vfg, vlg, vmg = _group_pad(
+            bin_features(np.asarray(vf, np.float32), edges), vl, vs,
+            cfg.max_group,
+        )
+        vbins = jnp.asarray(vfg.reshape(-1, F))
+        vlg_d, vmg_d = jnp.asarray(vlg), jnp.asarray(vmg)
+        vscores_acc = jnp.zeros(vbins.shape[0], jnp.float32)
+        if eval_every > 0:
+            chunk = max(1, min(chunk, eval_every))
+            if eval_every % chunk != 0:  # land dispatches on eval points
+                chunk = int(np.gcd(chunk, eval_every))
+
+    scores = jnp.zeros(bins.shape[0], jnp.float32)  # explicit zeros: ONE program
     parts = []
+    evals = []          # (n_trees_so_far, valid ndcg@k)
+    best_iter, best_score = -1, -np.inf
+    n_done = 0
     for t0 in range(0, cfg.n_trees, chunk):
         tids = jnp.arange(t0, min(t0 + chunk, cfg.n_trees))
         if mesh is not None:
@@ -636,26 +671,55 @@ def train_gbdt_ranker(
                 bins, lg_d, mg_d, cfg, scores0=scores, tree_ids=tids
             )
         parts.append((gf, th, gn, lf))
-    gfeat = jnp.concatenate([p[0] for p in parts])
-    thr = jnp.concatenate([p[1] for p in parts])
-    gains = jnp.concatenate([p[2] for p in parts])
-    leaf = jnp.concatenate([p[3] for p in parts])
+        n_done = int(tids[-1]) + 1
+        at_eval = valid is not None and (
+            (eval_every > 0 and (n_done % eval_every == 0 or n_done == cfg.n_trees))
+            or (eval_every <= 0 and n_done == cfg.n_trees)
+        )
+        if at_eval:
+            vscores_acc = vscores_acc + _predict_binned_program(
+                vbins, gf, th, lf, cfg.n_bins
+            )
+            ndcg = float(ndcg_at_k(
+                vscores_acc.reshape(vlg_d.shape), vlg_d, vmg_d, cfg.ndcg_at
+            ))
+            evals.append((n_done, ndcg))
+            log.info("gbdt [%d] valid ndcg@%d=%.5f", n_done, cfg.ndcg_at, ndcg)
+            if ndcg > best_score:
+                best_iter, best_score = n_done, ndcg
+            elif es_rounds > 0 and n_done - best_iter >= es_rounds:
+                log.info(
+                    "gbdt early stop at %d trees (best iter %d, ndcg@%d=%.5f)",
+                    n_done, best_iter, cfg.ndcg_at, best_score,
+                )
+                break
+        elif valid is not None:
+            # keep valid scores current so the next eval point only adds
+            # this chunk's trees
+            vscores_acc = vscores_acc + _predict_binned_program(
+                vbins, gf, th, lf, cfg.n_bins
+            )
+    gfeat = np.asarray(jnp.concatenate([p[0] for p in parts]))
+    thr = np.asarray(jnp.concatenate([p[1] for p in parts]))
+    gains = np.asarray(jnp.concatenate([p[2] for p in parts]))
+    leaf = np.asarray(jnp.concatenate([p[3] for p in parts]))
+    if best_iter < 0:
+        best_iter = n_done  # no valid set: reference falls back to
+        #                     n_estimators (utils.py:89-93)
+    elif es_rounds > 0 and best_iter < len(leaf):
+        # keep the best-iteration model (LightGBM early-stopping semantics)
+        gfeat, thr = gfeat[:best_iter], thr[:best_iter]
+        gains, leaf = gains[:best_iter], leaf[:best_iter]
     model = GBDTRanker(
         cfg=cfg,
         edges=edges,
-        gfeat=np.asarray(gfeat),
-        thr=np.asarray(thr),
-        leaf=np.asarray(leaf),
-        gains=np.asarray(gains),
+        gfeat=gfeat,
+        thr=thr,
+        leaf=leaf,
+        gains=gains,
         feature_names=tuple(feature_names),
+        best_iter=best_iter,
+        best_score=float(best_score) if np.isfinite(best_score) else float("nan"),
     )
-    if valid is not None:
-        vf, vl, vs = valid
-        vfg, vlg, vmg = _group_pad(vf, vl, vs, cfg.max_group)
-        vscores = model.predict(vfg.reshape(-1, F)).reshape(vfg.shape[:2])
-        log.info(
-            "gbdt valid ndcg@%d=%.5f",
-            cfg.ndcg_at,
-            ndcg_at_k(vscores, vlg, vmg, cfg.ndcg_at),
-        )
+    model.eval_history = evals
     return model

@@ -401,7 +401,6 @@ class Word2Vec:
 # cache on this runtime (see engine/covis.py note); the epoch-boundary param
 # copy is trivial next to minutes of recompile.
 @partial(jax.jit, static_argnums=(6, 7, 8, 9, 11))
-@partial(jax.jit, static_argnums=(6, 7, 8, 9, 11))
 def sgns_epoch_device(
     params: SGNSParams,
     words: jnp.ndarray,

@@ -133,7 +133,13 @@ def merge_runs_compact_raw_impl(runs: Tuple[CountTable, ...]) -> CountTable:
     is DERIVED from segment lengths after a keys-only sort — the dominant
     level-0 ladder sort carries 2 operands instead of 3, and the value
     scan collapses to one cummax. Semantics: groupby(k1, k2).count
-    (reference: model/count_co_events.py:64-72)."""
+    (reference: model/count_co_events.py:64-72).
+
+    PRECONDITION: every input run must be raw (count == 1 wherever
+    aid != SENTINEL); the count column is IGNORED, so aggregated runs
+    passed here would get silently wrong counts. CoVisCounter._push
+    guarantees this (level-0 entries are always raw emit output); the
+    invariant is asserted in tests (tests/test_covis.py)."""
     k1 = jnp.concatenate([r.aid for r in runs])
     k2 = jnp.concatenate([r.aid_next for r in runs])
     k1s, k2s = lax.sort((k1, k2), num_keys=2)

@@ -87,6 +87,33 @@ def cmd_run(args) -> int:
     return 0
 
 
+def cmd_rank(args) -> int:
+    """Inference-only: score an unlabeled test set with previously trained
+    rankers and write submission.csv (reference: model/rank.py + submit.py).
+    Requires a prior labeled run in the same work dir (ranker artifacts)."""
+    import os
+
+    from otto_tpu.config import config_from_json
+
+    train = Events.from_parquet(args.train)
+    test = Events.from_parquet(args.test)
+    n_aids = int(max(train.aid.max(), test.aid.max())) + 1
+    # reload the configuration the work dir's artifacts were built with
+    cpath = os.path.join(args.work_dir, "config.json")
+    cfg = config_from_json(cpath) if os.path.exists(cpath) else DEFAULT
+    pipe = Pipeline(
+        cfg=cfg, work_dir=args.work_dir, n_aids=n_aids,
+        use_cache=not args.no_cache,
+    )
+    streaming = args.streaming or (
+        not args.no_streaming and len(np.unique(test.session)) > 50_000
+    )
+    runner = pipe.run_streaming if streaming else pipe.run
+    runner(train, test, None, batch_sessions=args.batch_sessions)
+    log.info("wrote %s", pipe._p("submission.csv"))
+    return 0
+
+
 def _tiny_config() -> Config:
     """Small-model config for CPU demos / smoke runs."""
     import dataclasses
@@ -176,6 +203,15 @@ def main(argv=None) -> int:
                    help="force the batch runner")
     _add_common(p)
     p.set_defaults(fn=cmd_run)
+
+    p = sub.add_parser("rank", help=cmd_rank.__doc__)
+    p.add_argument("--train", required=True)
+    p.add_argument("--test", required=True)
+    p.add_argument("--batch-sessions", type=int, default=256)
+    p.add_argument("--streaming", action="store_true")
+    p.add_argument("--no-streaming", action="store_true")
+    _add_common(p)
+    p.set_defaults(fn=cmd_rank)
 
     p = sub.add_parser("run-synthetic", help=cmd_run_synthetic.__doc__)
     p.add_argument("--sessions", type=int, default=20_000)

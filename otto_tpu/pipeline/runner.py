@@ -64,9 +64,17 @@ class Pipeline:
 
     def __post_init__(self):
         Path(self.work_dir).mkdir(parents=True, exist_ok=True)
-        from otto_tpu.config import enable_persistent_compilation_cache
+        from otto_tpu.config import (
+            config_to_json,
+            enable_persistent_compilation_cache,
+        )
 
         enable_persistent_compilation_cache()
+        # persist the config next to the artifacts it shapes, so inference-
+        # only runs (CLI rank) can reload the exact training configuration
+        cpath = self._p("config.json")
+        if not os.path.exists(cpath):
+            config_to_json(self.cfg, cpath)
 
     def _p(self, name: str) -> str:
         return os.path.join(self.work_dir, name)
@@ -85,13 +93,26 @@ class Pipeline:
         labels: Optional[Labels] = None,
         batch_sessions: int = 256,
     ) -> Dict[str, float]:
-        """Run the full offline pipeline; returns eval metrics (empty dict
-        when labels are absent)."""
+        """Run the full offline pipeline; returns eval metrics.
+
+        Without labels this is the reference's production inference path
+        (reference: model/rank.py:17-61, model/submit.py:14-61): previously
+        trained rankers are loaded from the work dir and applied to the
+        unlabeled test set; submission.csv is still written (metrics stay
+        empty)."""
         batches, targets, metrics = self.retrieve_with_features(
             train, test, labels, batch_sessions=batch_sessions
         )
         if labels is not None:
             self.rank_and_eval(batches, targets, labels, metrics)
+        else:
+            t0 = time.time()
+            rankers = self.load_rankers()
+            preds = {}
+            for tname in TYPES:
+                s, a, _ = rank_engine.score_and_topk(batches, rankers[tname])
+                preds[tname] = (s, a)
+            self._submit_and_eval(preds, None, metrics, t0)
         return metrics
 
     def run_streaming(
@@ -120,6 +141,16 @@ class Pipeline:
         t0 = time.time()
         cfg = self.cfg
         retriever = self.build_retriever(train, test)
+
+        if labels is None:
+            # inference-only: no label join / downsample / training — load
+            # persisted rankers and do the scoring pass directly
+            # (reference: model/rank.py:17-61 scores unlabeled test chunks
+            # with previously trained boosters)
+            rankers = self.load_rankers()
+            preds = self._score_pass(retriever, test, rankers, batch_sessions)
+            self._log("score (inference-only)", t0)
+            return self._submit_and_eval(preds, None, {}, t0)
 
         from otto_tpu.eval.per_source import SrcFlagBatch
 
@@ -173,8 +204,6 @@ class Pipeline:
         self._log("retrieve+downsample (pass A)", t0, f"{n_sessions} sessions")
 
         metrics: Dict[str, float] = {}
-        if labels is None:
-            return metrics
         metrics = self._eval_retrieved(
             np.concatenate(sess_acc), np.concatenate(cand_acc),
             flag_batches, labels, t0,
@@ -208,8 +237,14 @@ class Pipeline:
             rankers[tname] = self._train_ranker_cached(tname, rows_fn, t0)
 
         # pass B: stream again, score all 3 targets per batch on device
-        # (same one-batch lookahead: batch N+1 retrieves while batch N's
-        # [S, 20] results cross the link)
+        preds = self._score_pass(retriever, test, rankers, batch_sessions)
+        self._log("score (pass B)", t0)
+        return self._submit_and_eval(preds, labels, metrics, t0)
+
+    def _score_pass(self, retriever, test, rankers, batch_sessions):
+        """One streaming scoring pass: re-retrieve, score all 3 targets per
+        batch on device, pull only [S, 20] results (one-batch lookahead:
+        batch N+1 retrieves while batch N's results cross the link)."""
         pieces = {t: ([], []) for t in TYPES}
 
         def consume_b(b):
@@ -231,8 +266,30 @@ class Pipeline:
             a = np.concatenate(pieces[tname][1])
             order = np.argsort(s, kind="stable")
             preds[tname] = (s[order], a[order])
-        self._log("score (pass B)", t0)
-        return self._submit_and_eval(preds, labels, metrics, t0)
+        return preds
+
+    def load_rankers(self) -> Dict[str, object]:
+        """Load the 3 persisted rankers (reference: model/rank.py:41-42
+        loads boosters + feature lists per target). Raises with a clear
+        message when a target's model artifact is missing — the inference
+        path requires a prior training run in the same work dir."""
+        from otto_tpu.models.gbdt import GBDTRanker
+
+        backend = self.cfg.ranker_backend
+        rankers: Dict[str, object] = {}
+        for tname in TYPES:
+            rpath = self._p(f"ranker-{backend}-{tname}.npz")
+            if not os.path.exists(rpath):
+                raise FileNotFoundError(
+                    f"no trained {backend} ranker for '{tname}' at {rpath}; "
+                    "run the pipeline with labels first to train rankers"
+                )
+            rankers[tname] = (
+                GBDTRanker.load(rpath)
+                if backend == "gbdt"
+                else Ranker.load(rpath, self.cfg.ranker)
+            )
+        return rankers
 
     def build_retriever(self, train: Events, test: Events) -> "Retriever":
         """Stages C7-C12: co-vis counts, embeddings, kNN, clusters,
@@ -321,9 +378,6 @@ class Pipeline:
                 fh.write(
                     f"{n_clusters},{inertia:.3f},{n_iter},{len(cl_labels)}\n"
                 )
-        cl_of_session = dict(
-            zip(sess_ids.tolist(), np.asarray(cl_labels).tolist())
-        )
         self._log("kmeans", t0)
 
         # ---- C12 popularity ----------------------------------------------
@@ -362,11 +416,12 @@ class Pipeline:
             pop_cl1_rank=jnp.asarray(pop1.aid_rank),
             aid_emb=jnp.asarray(aid_emb),
         )
+        from otto_tpu.engine.retrieval import SessionLookup
+
         retriever = Retriever(
             ctx=ctx,
             cfg=cfg.retrieval,
-            session_cluster=cl_of_session,
-            session_emb=dict(zip(sess_ids.tolist(), sess_emb)),
+            sessions=SessionLookup.build(sess_ids, cl_labels, sess_emb),
         )
         self._log("context built", t0)
         return retriever
@@ -504,9 +559,12 @@ class Pipeline:
 
     def _submit_and_eval(self, preds, labels, metrics, t0):
         """C18/C19 tail: write the Kaggle CSV, evaluate recall@20, persist
-        reports, re-parse cross-check."""
+        reports, re-parse cross-check. Without labels only the CSV is
+        written (the Kaggle-submission production path)."""
         rank_engine.write_submission(self._p("submission.csv"), preds)
         self._log("submit", t0)
+        if labels is None:
+            return metrics
 
         res = evaluate_topk(preds, labels)
         metrics.update(res)

@@ -121,6 +121,64 @@ def test_gbdt_save_load_roundtrip(tmp_path):
     np.testing.assert_allclose(loaded.feature_importance("gain"), gain)
 
 
+def test_gbdt_periodic_eval_and_best_iter():
+    """Valid ndcg@20 is evaluated every eval_every trees (reference logs
+    eval every 25 iterations, config.py:223-227) and best_iter/best_score
+    are recorded (reference: utils.py:77-93). The accumulated-score eval
+    path must agree with full re-prediction at each point."""
+    x, y, sess = _synthetic_ranking(n_groups=200)
+    xv, yv, sv = _synthetic_ranking(n_groups=60, seed=5)
+    cfg = GBDTConfig(
+        n_trees=20, max_depth=3, n_bins=16, colsample=0.8, subsample=0.9,
+        min_child_samples=5, max_group=16, row_chunk=512, group_chunk=64,
+        eval_every=5, trees_per_dispatch=10,
+    )
+    model = train_gbdt_ranker(
+        x, y, sess, tuple(f"f{i}" for i in range(10)), cfg,
+        valid=(xv, yv, sv),
+    )
+    hist = model.eval_history
+    assert [n for n, _ in hist] == [5, 10, 15, 20]
+    assert model.best_iter == max(hist, key=lambda e: e[1])[0]
+    assert abs(model.best_score - max(n for _, n in hist)) < 1e-9
+    # accumulated valid scores == full re-prediction at the final point
+    scores = model.predict(xv).reshape(-1, 16)
+    nd_full = float(ndcg_at_k(scores, yv.reshape(-1, 16),
+                              np.ones((60, 16), bool), cfg.ndcg_at))
+    # accumulated per-chunk score sums differ from one-shot prediction only
+    # by f32 summation order; near-tie rank flips bound the ndcg delta
+    assert abs(hist[-1][1] - nd_full) < 5e-3
+
+    # save/load round-trips best_iter/best_score
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "m.npz")
+        model.save(p)
+        loaded = GBDTRanker.load(p)
+        assert loaded.best_iter == model.best_iter
+        assert abs(loaded.best_score - model.best_score) < 1e-12
+
+
+def test_gbdt_early_stopping_truncates_to_best():
+    """With early_stopping_rounds set, training stops once valid ndcg stalls
+    and the kept model has exactly best_iter trees."""
+    x, y, sess = _synthetic_ranking(n_groups=150)
+    xv, yv, sv = _synthetic_ranking(n_groups=50, seed=9)
+    cfg = GBDTConfig(
+        n_trees=60, max_depth=3, n_bins=16, colsample=0.8, subsample=0.9,
+        min_child_samples=5, max_group=16, row_chunk=512, group_chunk=64,
+        eval_every=5, trees_per_dispatch=10, early_stopping_rounds=10,
+    )
+    model = train_gbdt_ranker(
+        x, y, sess, tuple(f"f{i}" for i in range(10)), cfg,
+        valid=(xv, yv, sv),
+    )
+    if len(model.eval_history) < 60 // 5:  # stopped early
+        assert len(model.leaf) == model.best_iter
+    # predictions still work after truncation
+    assert np.isfinite(model.predict(x[:64])).all()
+
+
 def test_gbdt_data_parallel_matches_quality():
     """8-way dp training (shard_map + histogram psum) learns the same task
     to the same quality as single-device training."""

@@ -118,6 +118,47 @@ def test_streaming_runner_matches_batch(tiny_cfg, pipeline_metrics, tmp_path):
     assert a == b
 
 
+def test_inference_only_flow(tiny_cfg, pipeline_metrics):
+    """Train-on-split -> predict-on-unlabeled (the reference's production
+    path, model/rank.py:17-61 + submit.py:14-61): running the pipeline with
+    labels=None in a work dir holding trained rankers must score the test
+    set and write submission.csv — for BOTH the batch and streaming runners,
+    with identical top-20s (same rankers, same retrieval)."""
+    work, _ = pipeline_metrics  # holds trained ranker artifacts
+    from otto_tpu.data.split import split_events
+    from otto_tpu.data.synthetic import generate
+    from otto_tpu.pipeline.runner import Pipeline
+
+    spec = SyntheticSpec(n_sessions=2500, n_aids=1200, mean_len=10,
+                         span_days=21, seed=11)
+    ev = generate(spec)
+    sp = split_events(ev, tiny_cfg.data.test_days, tiny_cfg.data.seed)
+    pipe = Pipeline(cfg=tiny_cfg, work_dir=work, n_aids=spec.n_aids)
+
+    sub_path = os.path.join(work, "submission.csv")
+    os.remove(sub_path)
+    m = pipe.run(sp.train, sp.test, None, batch_sessions=64)
+    assert m == {}
+    assert os.path.exists(sub_path)
+    sub_batch = read_submission(sub_path)
+    assert set(sub_batch) == {"clicks", "carts", "orders"}
+    assert set(sub_batch["clicks"]) == set(np.unique(sp.test.session).tolist())
+
+    os.remove(sub_path)
+    m = pipe.run_streaming(sp.train, sp.test, None, batch_sessions=64)
+    assert m == {}
+    sub_stream = read_submission(sub_path)
+    assert sub_stream == sub_batch
+
+
+def test_load_rankers_missing_raises(tiny_cfg, tmp_path):
+    from otto_tpu.pipeline.runner import Pipeline
+
+    pipe = Pipeline(cfg=tiny_cfg, work_dir=str(tmp_path), n_aids=10)
+    with pytest.raises(FileNotFoundError, match="no trained gbdt ranker"):
+        pipe.load_rankers()
+
+
 def test_pipeline_resume_from_cache(tiny_cfg, pipeline_metrics):
     """Re-running with the same work dir must reuse artifacts (reference
     resumability semantics, SURVEY.md §5.3-4)."""

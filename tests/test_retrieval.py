@@ -91,10 +91,13 @@ def result():
     )
     cfg = RetrievalConfig(max_session_aids=8, max_candidates=16,
                           session_len_buckets=(8,))
+    from otto_tpu.engine.retrieval import SessionLookup
+
     r = Retriever(
         ctx=ctx, cfg=cfg,
-        session_cluster={100: 0},
-        session_emb={100: np.eye(1, D, 0, dtype=np.float32)[0]},
+        sessions=SessionLookup.from_dicts(
+            {100: 0}, {100: np.eye(1, D, 0, dtype=np.float32)[0]}, D
+        ),
     )
     batches = r.run(test, batch_sessions=1)
     assert len(batches) == 1

@@ -97,6 +97,14 @@ class CoVisConfig:
     # forced. TPU analogue of MAX_ROWS_POLARS_GROUPBY (reference: config.py:52-53).
     accumulator_capacity: int = 1 << 23
 
+    # Reference-capacity counting: fully-merged device runs spill LOSSLESSLY
+    # to host RAM and the global merge + prune happen there (the 300M-pair
+    # matrices, reference config.py:64, cannot live in 16 GB HBM; the
+    # reference is likewise out-of-core). False keeps the device-only
+    # bounded top table (accumulator_capacity pairs/type, in-part overflow
+    # pruning) — exact only while counts fit on device.
+    host_spill: bool = True
+
     @property
     def names(self) -> List[str]:
         return list(self.count_types.keys())

@@ -166,6 +166,13 @@ class CoVisCounter:
         cfg: CoVisConfig,
         capacity: Optional[int] = None,
         pair_budget: int = 1 << 21,
+        # True: fully-merged top-level runs spill LOSSLESSLY to host RAM and
+        # the global merge happens there (reference-capacity semantics: the
+        # 300M-pair matrices cannot live in 16 GB HBM; the reference is
+        # likewise out-of-core, model/count_co_events.py:103-181). False:
+        # device-only bounded top table with in-part overflow pruning.
+        # None: cfg.host_spill.
+        spill: Optional[bool] = None,
         # with shelf packing, lanes/event ~= L / row-fill: favor SMALL row
         # lengths. Pair volume is QUADRATIC in session length, so the rare
         # mid/long sessions dominate lane volume and deserve fine bucket
@@ -211,11 +218,33 @@ class CoVisCounter:
         self._min_in_part = tuple(
             max(1, cfg.min_count_in_part.get(name, 1)) for name in cfg.names
         )
+        self.spill = (
+            getattr(cfg, "host_spill", False) if spill is None else spill
+        )
+        self._store = counts_ops.HostRunStore() if self.spill else None
+
+    def _spill_run(self, run: CountTable, compacted: bool) -> None:
+        """Pull one fully-merged run to the host store (sorted, compacted)."""
+        if not compacted:  # raw unit-count run: compact on device first
+            run = counts_ops.merge_runs_compact_raw((run,))
+        run = self._squeeze(run)
+        n = int(run.n)
+        if n == 0:
+            return
+        # pull the squeezed arrays (capacity <= 2n) and slice on host: a
+        # device [0:n] slice would compile one program per distinct n
+        k1 = np.asarray(run.aid)[:n]
+        k2 = np.asarray(run.aid_next)[:n]
+        c = np.asarray(run.count)[:n]
+        self._store.add_run(k1, k2, c)
 
     def _push(self, level: int, run: CountTable, compacted: bool = False) -> None:
         """compacted=True marks merged (front-compacted) runs that still
         need the occupancy squeeze; raw level-0 runs are already size P."""
         if level >= self.n_levels:
+            if self.spill:
+                self._spill_run(run, compacted)
+                return
             self._top = counts_ops.merge_bounded_tagged(
                 self._top,
                 self._squeeze(run) if compacted else run,
@@ -299,10 +328,14 @@ class CoVisCounter:
                 self._push(0, run)
 
     def _drain(self) -> None:
-        """Fold all pending ladder runs into the bounded top table."""
+        """Fold all pending ladder runs into the bounded top table (or the
+        host store when spilling)."""
         for level in range(self.n_levels):
             entries, self._runs[level] = self._runs[level], []
             for run, compacted in entries:
+                if self.spill:
+                    self._spill_run(run, compacted)
+                    continue
                 self._top = counts_ops.merge_bounded_tagged(
                     self._top,
                     self._squeeze(run) if compacted else run,
@@ -312,9 +345,23 @@ class CoVisCounter:
 
     @property
     def tables(self) -> Dict[str, CountTable]:
-        """Per-type untagged count tables (capacity = per_type_capacity)."""
+        """Per-type untagged count tables. Device mode: capacity =
+        per_type_capacity. Spill mode: numpy-backed CountTables of exact
+        occupancy (host RAM is the capacity bound, as in the reference)."""
         self._drain()
-        out = {}
+        out: Dict[str, CountTable] = {}
+        if self.spill:
+            k1, k2, cnt = self._store.merged()
+            stride = pairs_ops.AID_STRIDE
+            for i, name in enumerate(self.cfg.names):
+                lo, hi = np.searchsorted(k1, [i * stride, (i + 1) * stride])
+                out[name] = CountTable(
+                    aid=k1[lo:hi] - np.int32(i * stride),
+                    aid_next=k2[lo:hi],
+                    count=cnt[lo:hi],
+                    n=np.int32(hi - lo),
+                )
+            return out
         for i, name in enumerate(self.cfg.names):
             out[name] = counts_ops.extract_tag(
                 self._top,
@@ -328,19 +375,34 @@ class CoVisCounter:
         """Global prune per count type (reference: model/count_co_events.py:171-175)."""
         out = {}
         for name, t in self.tables.items():
-            out[name] = counts_ops.finalize(
-                t, self.cfg.min_count_to_save.get(name, 1), self.cfg.max_pairs_to_save
-            )
+            min_c = self.cfg.min_count_to_save.get(name, 1)
+            if self.spill:
+                a, b, c = counts_ops.host_finalize(
+                    t.aid, t.aid_next, t.count, min_c, self.cfg.max_pairs_to_save
+                )
+                out[name] = CountTable(a, b, c, np.int32(len(a)))
+            else:
+                out[name] = counts_ops.finalize(
+                    t, min_c, self.cfg.max_pairs_to_save
+                )
         return out
 
     def retrieval_tables(self, n_aids: int) -> Dict[str, CoVisTables]:
         final = self.finalize()
-        return {
-            name: build_retrieval_tables(
-                final[name], n_aids, self.cfg.retrieval_first_n[name]
-            )
-            for name in self.cfg.names
-        }
+        out = {}
+        for name in self.cfg.names:
+            first_n = self.cfg.retrieval_first_n[name]
+            t = final[name]
+            if self.spill:
+                out[name] = CoVisTables(*(
+                    jnp.asarray(a) for a in counts_ops.host_topn_tables(
+                        np.asarray(t.aid), np.asarray(t.aid_next),
+                        np.asarray(t.count), n_aids, first_n,
+                    )
+                ))
+            else:
+                out[name] = build_retrieval_tables(t, n_aids, first_n)
+        return out
 
 
 def count_events(

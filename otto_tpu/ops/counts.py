@@ -266,3 +266,135 @@ def compress_pairs(
     counts. Returns (aid, aid_next, count, n_unique), SENTINEL-padded."""
     ones = jnp.ones_like(aid)
     return seg.sort_compress(aid, aid_next, ones, valid)
+
+
+# ---------------------------------------------------------------------------
+# Host spill store: reference-capacity counting (C7 merge stage).
+#
+# The device's bounded top table cannot hold the reference's up-to-300M-pair
+# matrices in 16 GB HBM (reference: config.py:64 MAX_CO_EVENT_PAIRS_TO_SAVE;
+# 300M x 5 types x 12 B = 18 GB). The reference solves the same problem
+# out-of-core: per-chunk count parquets -> RAM-bounded slice-wise partial
+# groupby-sums with MIN_COUNT_IN_PART pruning -> global merge + prune
+# (reference: model/count_co_events.py:103-181). Here the device ladder does
+# the hot per-microbatch merging (losslessly, up to max_run_rows-row sorted
+# runs) and fully-merged top-level runs SPILL to host RAM; the final global
+# merge exploits run sortedness (numpy stable sort = timsort, near O(N log k)
+# on concatenated sorted runs).
+#
+# Unlike the reference, the spill path is LOSSLESS until the final prune: no
+# in-part min-count is applied, so pairs whose partial counts are each below
+# MIN_COUNT_IN_PART but whose global count clears MIN_COUNT_TO_SAVE are KEPT
+# (the reference drops them — our retained set is a superset at equal caps).
+# ---------------------------------------------------------------------------
+
+import numpy as np  # noqa: E402  (host-side half of this module)
+
+_KK_BITS = 23  # k2 (untagged aid) < 2^23 >= 1.8M OTTO aid space
+
+
+class HostRunStore:
+    """Sorted tagged count runs in host RAM + global merge."""
+
+    def __init__(self):
+        self._runs: list = []          # (kk int64 sorted, count int32)
+        self.rows_spilled = 0
+
+    def add_run(self, k1: np.ndarray, k2: np.ndarray, count: np.ndarray) -> None:
+        """Append one compacted run (sorted by (k1, k2), no sentinels)."""
+        kk = (k1.astype(np.int64) << _KK_BITS) | k2.astype(np.int64)
+        self._runs.append((kk, np.ascontiguousarray(count, np.int64)))
+        self.rows_spilled += len(kk)
+
+    def merged(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Global groupby-sum over all runs -> (k1, k2, count) sorted by
+        (k1, k2). The merged result replaces the stored runs, so further
+        add_run + merged cycles stay incremental (drain-resume counting)."""
+        if not self._runs:
+            z = np.zeros(0, np.int64)
+            return z.astype(np.int32), z.astype(np.int32), z.astype(np.int32)
+        if len(self._runs) == 1:
+            kk, csum = self._runs[0]
+        else:
+            kk = np.concatenate([r[0] for r in self._runs])
+            cnt = np.concatenate([r[1] for r in self._runs])
+            order = np.argsort(kk, kind="stable")  # timsort: exploits runs
+            kk, cnt = kk[order], cnt[order]
+            first = np.empty(len(kk), bool)
+            first[0] = True
+            np.not_equal(kk[1:], kk[:-1], out=first[1:])
+            idx = np.flatnonzero(first)
+            csum = np.add.reduceat(cnt, idx)
+            kk = kk[idx]
+            self._runs = [(kk, csum)]
+        return (
+            (kk >> _KK_BITS).astype(np.int32),
+            (kk & ((1 << _KK_BITS) - 1)).astype(np.int32),
+            np.minimum(csum, np.iinfo(np.int32).max).astype(np.int32),
+        )
+
+
+def host_finalize(
+    aid: np.ndarray, aid_next: np.ndarray, count: np.ndarray,
+    min_count: int, max_pairs: int,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Global prune for one (untagged) count type: count >= min_count, keep
+    the top max_pairs by count (reference: model/count_co_events.py:171-179).
+    Rows return in (aid, aid_next) order."""
+    keep = count >= min_count
+    aid, aid_next, count = aid[keep], aid_next[keep], count[keep]
+    if len(count) > max_pairs:
+        top = np.argsort(-count, kind="stable")[:max_pairs]
+        top.sort()  # restore key order
+        aid, aid_next, count = aid[top], aid_next[top], count[top]
+    return aid, aid_next, count
+
+
+def host_topn_tables(
+    aid: np.ndarray, aid_next: np.ndarray, count: np.ndarray,
+    n_aids: int, first_n: int,
+):
+    """Host-side equivalent of engine.covis.build_retrieval_tables for
+    tables too large for one device sort: dense per-aid top-N retrieval
+    tables + population-normalized features (reference feature semantics:
+    model/retrieve.py:18-63). Returns 5 np arrays [n_aids, first_n]:
+    (neighbor, count, count_pop, perc_pop, count_rel)."""
+    total = len(count)
+    nbr = np.full((n_aids, first_n), -1, np.int32)
+    cnt_t = np.zeros((n_aids, first_n), np.int32)
+    cpop_t = np.zeros((n_aids, first_n), np.int32)
+    ppop_t = np.zeros((n_aids, first_n), np.int32)
+    crel_t = np.zeros((n_aids, first_n), np.int32)
+    if total == 0:
+        return nbr, cnt_t, cpop_t, ppop_t, crel_t
+
+    # population stats (reference: model/retrieve.py:33-38)
+    order_desc = np.argsort(-count, kind="stable")
+    rank_of = np.empty(total, np.int64)
+    rank_of[order_desc] = np.arange(1, total + 1)
+    cmin = int(count[order_desc[-1]])
+    q9999 = int(count[order_desc[min(int(total * 1e-4), total - 1)]])
+    denom = max(q9999 - cmin, 1)
+    count_pop = (
+        np.clip((count - cmin) / denom, None, 1.0) * 10_000
+    ).astype(np.int32)
+    perc_pop = (rank_of / total * 10_000).astype(np.int32)
+
+    # per-aid top-N by count desc (reference: model/retrieve.py:40-49)
+    order = np.lexsort((-count, aid))
+    a_s = aid[order]
+    starts = np.flatnonzero(np.concatenate([[True], a_s[1:] != a_s[:-1]]))
+    start_of_row = np.repeat(starts, np.diff(np.append(starts, len(a_s))))
+    rank_in_aid = np.arange(len(a_s)) - start_of_row          # 0-based
+    kept = rank_in_aid < first_n
+    rows = order[kept]
+    a_k, r_k = a_s[kept], rank_in_aid[kept]
+    max_per_aid = count[order[start_of_row[kept]]]            # rank-0 count
+    nbr[a_k, r_k] = aid_next[rows]
+    cnt_t[a_k, r_k] = count[rows]
+    cpop_t[a_k, r_k] = count_pop[rows]
+    ppop_t[a_k, r_k] = perc_pop[rows]
+    crel_t[a_k, r_k] = (
+        count[rows] / np.maximum(max_per_aid, 1) * 100
+    ).astype(np.int32)
+    return nbr, cnt_t, cpop_t, ppop_t, crel_t

@@ -232,10 +232,14 @@ class CoVisCounter:
         if n == 0:
             return
         # pull the squeezed arrays (capacity <= 2n) and slice on host: a
-        # device [0:n] slice would compile one program per distinct n
-        k1 = np.asarray(run.aid)[:n]
-        k2 = np.asarray(run.aid_next)[:n]
-        c = np.asarray(run.count)[:n]
+        # device [0:n] slice would compile one program per distinct n.
+        # Chunked pulls: single large device->host transfers collapse on the
+        # tunneled runtime (utils/transfer.py measurements)
+        from otto_tpu.utils.transfer import fast_pull
+
+        k1 = fast_pull(run.aid)[:n]
+        k2 = fast_pull(run.aid_next)[:n]
+        c = fast_pull(run.count)[:n]
         self._store.add_run(k1, k2, c)
 
     def _push(self, level: int, run: CountTable, compacted: bool = False) -> None:
@@ -403,6 +407,92 @@ class CoVisCounter:
             else:
                 out[name] = build_retrieval_tables(t, n_aids, first_n)
         return out
+
+
+class ShardedCoVisCounter:
+    """Multi-device counting: sessions data-parallel over a mesh axis, the
+    type-tagged count table row-sharded by aid ownership, all-to-all count
+    exchange per microbatch (parallel/collectives.py — the SPMD form of the
+    reference's chunked count + hierarchical merge,
+    model/count_co_events.py:80-181, with ICI collectives replacing Dask
+    shuffles per SURVEY.md §5.8). finalize()/retrieval_tables() pull the
+    sharded table once and reuse the host-side prune + dense-table builders,
+    so the output contract matches CoVisCounter exactly."""
+
+    def __init__(
+        self,
+        cfg: CoVisConfig,
+        mesh_ctx,                       # parallel.mesh.MeshContext
+        capacity_per_shard: Optional[int] = None,
+        pair_budget: int = 1 << 21,
+        bucket_lens: Sequence[int] = (8, 16, 24, 32, 48, 64, 96, 128, 192,
+                                      256, 512),
+    ):
+        from otto_tpu.parallel.collectives import (
+            make_sharded_covis_update,
+            make_sharded_table,
+        )
+
+        self.cfg = cfg
+        self.plan = pairs_ops.make_plan(cfg)
+        self.mesh_ctx = mesh_ctx
+        self.axis = mesh_ctx.data_axis
+        self.n_shards = mesh_ctx.mesh.shape[self.axis]
+        self.bucket_lens = tuple(bucket_lens)
+        self.pair_budget = pair_budget
+        cap = capacity_per_shard or max(
+            1 << 16, cfg.accumulator_capacity // self.n_shards
+        )
+        self._update = make_sharded_covis_update(
+            self.plan, mesh_ctx.mesh, axis=self.axis
+        )
+        self._table = make_sharded_table(cap, mesh_ctx.mesh, axis=self.axis)
+
+    def update(self, events: Events) -> None:
+        ev = dedup_events(events)
+        for filled in pack_sessions_filled(ev, self.bucket_lens):
+            L = filled.max_len
+            s_batch = pairs_ops.pair_budget_sessions(L, self.pair_budget)
+            # microbatch rows must divide evenly across shards
+            s_batch = max(self.n_shards, (s_batch // self.n_shards) * self.n_shards)
+            for mb in iter_filled_microbatches(filled, s_batch):
+                self._table = self._update(
+                    self._table,
+                    jnp.asarray(mb.aid),
+                    jnp.asarray(mb.ts),
+                    jnp.asarray(mb.type),
+                    jnp.asarray(mb.sess),
+                )
+
+    def host_tables(self) -> Dict[str, Tuple]:
+        """Pull the sharded table once: {name: (aid, aid_next, count)}."""
+        from otto_tpu.parallel.collectives import gather_tagged_table
+
+        return gather_tagged_table(self._table, self.cfg.names)
+
+    def finalize(self) -> Dict[str, CountTable]:
+        out = {}
+        for name, (a, b, c) in self.host_tables().items():
+            a2, b2, c2 = counts_ops.host_finalize(
+                a, b, c,
+                self.cfg.min_count_to_save.get(name, 1),
+                self.cfg.max_pairs_to_save,
+            )
+            out[name] = CountTable(a2, b2, c2, np.int32(len(a2)))
+        return out
+
+    def retrieval_tables(self, n_aids: int) -> Dict[str, CoVisTables]:
+        final = self.finalize()
+        return {
+            name: CoVisTables(*(
+                jnp.asarray(x) for x in counts_ops.host_topn_tables(
+                    np.asarray(t.aid), np.asarray(t.aid_next),
+                    np.asarray(t.count), n_aids,
+                    self.cfg.retrieval_first_n[name],
+                )
+            ))
+            for name, t in final.items()
+        }
 
 
 def count_events(

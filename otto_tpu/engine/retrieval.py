@@ -806,11 +806,18 @@ class SessionLookup:
 @dataclasses.dataclass
 class Retriever:
     """Host-side driver: streams padded session batches through
-    retrieve_batch (reference main loop: model/retrieve.py:700-719)."""
+    retrieve_batch (reference main loop: model/retrieve.py:700-719).
+
+    With `mesh` (a parallel.mesh.MeshContext), every batch's session
+    tensors are placed sharded over the data axis before dispatch, so the
+    jitted retrieval program runs data-parallel (source tables replicate);
+    batch sizes are already powers of two >= 8, so they divide any
+    power-of-two data-axis size."""
 
     ctx: RetrievalContext
     cfg: RetrievalConfig
     sessions: SessionLookup              # session -> (cl50, embedding)
+    mesh: Optional[object] = None        # parallel.mesh.MeshContext
 
     def run(
         self,
@@ -854,13 +861,14 @@ class Retriever:
             # (powers of two only; odd tail shapes also faulted the axon
             # runtime's compiled programs)
             size = min(batch_sessions, 1 << max(3, p.n_sessions - 1).bit_length())
+            put = _data_put(self.mesh, size)
             for mb in iter_microbatches(p, size):
                 cluster, semb = self.sessions.lookup(mb.session)
                 cand, feats, ts_order = retrieve_batch(
-                    (jnp.asarray(mb.aid), jnp.asarray(mb.ts), jnp.asarray(mb.type)),
+                    (put(mb.aid), put(mb.ts), put(mb.type)),
                     self.ctx,
-                    jnp.asarray(cluster),
-                    jnp.asarray(semb),
+                    put(cluster),
+                    put(semb),
                     trim,
                     keep_aids,
                     max_candidates,
@@ -878,6 +886,22 @@ class Retriever:
                     ts_order=ts_order,
                     keep=keep_idx,
                 )
+
+
+def _data_put(mesh_ctx, batch_size: int):
+    """Device-put callback for batch arrays: sharded over the data axis when
+    a mesh is active and divides the batch, plain jnp.asarray otherwise."""
+    if mesh_ctx is None or mesh_ctx.n_data <= 1 or batch_size % mesh_ctx.n_data:
+        return jnp.asarray
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sh = NamedSharding(mesh_ctx.mesh, P(mesh_ctx.data_axis))
+
+    def put(x):
+        return jax.device_put(np.asarray(x), sh)
+
+    return put
 
 
 def join_labels(

@@ -83,8 +83,8 @@ def make_sharded_covis_update(
         raise ValueError("tagged sharded counting requires disjoint count types")
     n = mesh.shape[axis]
 
-    def per_shard(table: CountTable, aid, ts, type_):
-        k1, k2, m = pairs_ops.emit_pairs_tagged(aid, ts, type_, plan)
+    def per_shard(table: CountTable, aid, ts, type_, sess):
+        k1, k2, m = pairs_ops.emit_pairs_tagged(aid, ts, type_, plan, sess=sess)
         # map-side combine shrinks the all-to-all volume
         ua, ub, uc, _ = seg.sort_compress(k1, k2, m.astype(jnp.int32))
         ra, rb, rc = _exchange_by_owner(ua, ub, uc, n, axis)
@@ -98,13 +98,16 @@ def make_sharded_covis_update(
     table_spec = CountTable(aid=P(axis), aid_next=P(axis), count=P(axis), n=P(axis))
 
     @partial(jax.jit, donate_argnums=(0,))
-    def update(table, aid, ts, type_):
-        in_specs = (table_spec, P(axis, None), P(axis, None), P(axis, None))
+    def update(table, aid, ts, type_, sess):
+        in_specs = (
+            table_spec, P(axis, None), P(axis, None), P(axis, None),
+            P(axis, None),
+        )
         fn = shard_map(
             per_shard, mesh=mesh, in_specs=in_specs, out_specs=table_spec,
             check_vma=False,
         )
-        return fn(table, aid, ts, type_)
+        return fn(table, aid, ts, type_, sess)
 
     return update
 
@@ -137,9 +140,11 @@ def gather_tagged_table(table: CountTable, names) -> Dict[str, tuple]:
     Returns {count_type_name: (aid, aid_next, count)} sorted by key."""
     import numpy as np
 
-    a = np.asarray(table.aid)
-    b = np.asarray(table.aid_next)
-    c = np.asarray(table.count)
+    from otto_tpu.utils.transfer import fast_pull
+
+    a = fast_pull(table.aid)
+    b = fast_pull(table.aid_next)
+    c = fast_pull(table.count)
     valid = (a != int(SENT)) & (c > 0)
     a, b, c = a[valid], b[valid], c[valid]
     tag = a // AID_STRIDE

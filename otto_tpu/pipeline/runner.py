@@ -55,12 +55,33 @@ from otto_tpu.ops.kmeans import kmeans_fit
 log = logging.getLogger(__name__)
 
 
+def _peak_hbm_gb() -> "Optional[float]":
+    """Best-effort device peak-memory probe (SURVEY §5.1 observability)."""
+    try:
+        import jax
+
+        stats = jax.local_devices()[0].memory_stats()
+        peak = stats.get("peak_bytes_in_use") or stats.get("bytes_in_use")
+        return round(peak / 2**30, 2) if peak else None
+    except Exception:
+        return None
+
+
 @dataclasses.dataclass
 class Pipeline:
+    """cfg/work_dir/n_aids: see module docstring. `mesh` (a
+    parallel.mesh.MeshContext) turns on multi-device execution: co-vis
+    counting runs sharded with all-to-all count exchange, KMeans and the
+    GBDT rankers run data-parallel (histogram/centroid psum), and retrieval
+    batches are sharded over the data axis. mesh=None (default) is the
+    single-device path; both produce identical artifacts and metrics
+    (mesh-size invariance is tested on the virtual CPU mesh)."""
+
     cfg: Config
     work_dir: str
     n_aids: int
     use_cache: bool = True
+    mesh: "Optional[object]" = None     # parallel.mesh.MeshContext
 
     def __post_init__(self):
         Path(self.work_dir).mkdir(parents=True, exist_ok=True)
@@ -75,6 +96,10 @@ class Pipeline:
         cpath = self._p("config.json")
         if not os.path.exists(cpath):
             config_to_json(self.cfg, cpath)
+        # machine-readable stage log (stage, elapsed seconds since the
+        # owning phase's t0, peak HBM) — the wall-clock record scale runs
+        # persist next to their metrics (RUN_FULLSCALE.json)
+        self.stage_log: List[Dict] = []
 
     def _p(self, name: str) -> str:
         return os.path.join(self.work_dir, name)
@@ -83,7 +108,15 @@ class Pipeline:
         return self.use_cache and os.path.exists(self._p(name))
 
     def _log(self, stage: str, t0: float, msg: str = ""):
-        log.info("[%7.1fs] %s %s", time.time() - t0, stage, msg)
+        el = time.time() - t0
+        entry = {"stage": stage, "elapsed_s": round(el, 1)}
+        hbm = _peak_hbm_gb()
+        if hbm is not None:
+            entry["peak_hbm_gb"] = hbm
+        if msg:
+            entry["msg"] = msg
+        self.stage_log.append(entry)
+        log.info("[%7.1fs] %s %s", el, stage, msg)
 
     # ------------------------------------------------------------------
     def run(
@@ -303,7 +336,12 @@ class Pipeline:
             with open(self._p("covis.pkl"), "rb") as fh:
                 covis_tables = pickle.load(fh)
         else:
-            counter = CoVisCounter(cfg.covis)
+            if self.mesh is not None and self.mesh.n_data > 1:
+                from otto_tpu.engine.covis import ShardedCoVisCounter
+
+                counter = ShardedCoVisCounter(cfg.covis, self.mesh)
+            else:
+                counter = CoVisCounter(cfg.covis)
             counter.update(train)
             counter.update(test)
             covis_tables = {
@@ -339,6 +377,22 @@ class Pipeline:
                 knns[name] = (kt.neighbor, kt.dist)
             self._log(f"w2vec {name}", t0)
 
+        # w2vec quality diagnostic: neighbour overlap vs co-count neighbours
+        # (the reference's label-free embedding-quality instrument,
+        # model/w2vec_aids.py:246-336) — logged + persisted per model
+        from otto_tpu.eval.diagnostics import (
+            w2vec_covis_overlap,
+            write_overlap_report,
+        )
+
+        co_nbr = covis_tables["click_to_click"][0]
+        for name in cfg.w2vec:
+            stats = w2vec_covis_overlap(knns[name][0], co_nbr)
+            log.info("w2vec overlap %s: %s", name, stats)
+            write_overlap_report(
+                self._p(f"stats_w2vec_x_co_click-{name}.csv"), stats
+            )
+
         # ---- C10 session embeddings --------------------------------------
         main_model = models[next(iter(cfg.w2vec))]
         aid_emb = main_model.embedding_by_aid(self.n_aids)
@@ -360,13 +414,26 @@ class Pipeline:
             z = np.load(self._p("clusters.npz"))
             cl_labels = z["cluster"]
         else:
-            _, cl_labels, inertia, n_iter = kmeans_fit(
-                sess_emb,
-                n_clusters,
-                max_iter=cfg.kmeans.max_iter,
-                tol=cfg.kmeans.tol,
-                seed=cfg.kmeans.seed,
-            )
+            if self.mesh is not None and self.mesh.n_data > 1:
+                from otto_tpu.ops.kmeans import kmeans_fit_dp
+
+                _, cl_labels, inertia, n_iter = kmeans_fit_dp(
+                    sess_emb,
+                    n_clusters,
+                    self.mesh.mesh,
+                    axis=self.mesh.data_axis,
+                    max_iter=cfg.kmeans.max_iter,
+                    tol=cfg.kmeans.tol,
+                    seed=cfg.kmeans.seed,
+                )
+            else:
+                _, cl_labels, inertia, n_iter = kmeans_fit(
+                    sess_emb,
+                    n_clusters,
+                    max_iter=cfg.kmeans.max_iter,
+                    tol=cfg.kmeans.tol,
+                    seed=cfg.kmeans.seed,
+                )
             np.savez_compressed(
                 self._p("clusters.npz"), session=sess_ids, cluster=cl_labels
             )
@@ -422,6 +489,7 @@ class Pipeline:
             ctx=ctx,
             cfg=cfg.retrieval,
             sessions=SessionLookup.build(sess_ids, cl_labels, sess_emb),
+            mesh=self.mesh,
         )
         self._log("context built", t0)
         return retriever
@@ -537,8 +605,11 @@ class Pipeline:
             valid_set = (feats[vmask], y[vmask], sess[vmask])
             feats, y, sess = feats[~vmask], y[~vmask], sess[~vmask]
         if backend == "gbdt":
+            dp = self.mesh is not None and self.mesh.n_data > 1
             ranker = train_gbdt_ranker(
-                feats, y, sess, FEATURE_NAMES, cfg.gbdt, valid=valid_set
+                feats, y, sess, FEATURE_NAMES, cfg.gbdt, valid=valid_set,
+                mesh=self.mesh.mesh if dp else None,
+                mesh_axis=self.mesh.data_axis if dp else "data",
             )
         else:
             ranker = train_ranker(

@@ -94,3 +94,47 @@ def test_per_source_eval_smoke():
     assert rep["src_click_to_click & not self"]["clicks"]["topall"] == 1.0
     assert "_counts" in rep
     assert "src_any" in format_report(rep)
+
+
+def test_w2vec_covis_overlap_diagnostic():
+    """Overlap semantics (reference: model/w2vec_aids.py:313-318
+    'co-countXw2vec' = |co n w2v| / min(20, |co|))."""
+    import numpy as np
+
+    from otto_tpu.eval.diagnostics import w2vec_covis_overlap
+
+    # aid 0: co {1,2,3}, w2v {2,3,9} -> 2/3 recovered
+    # aid 1: co {5},     w2v {5, 6}  -> 1/1
+    # aid 2: no co nbrs -> excluded
+    co = np.array([[1, 2, 3], [5, -1, -1], [-1, -1, -1]], np.int32)
+    wv = np.array([[2, 3, 9], [5, 6, -1], [7, 8, -1]], np.int32)
+    s = w2vec_covis_overlap(wv, co, n_sample=10)
+    assert abs(s["co_count_x_w2vec"] - (2 / 3 + 1.0) / 2) < 1e-9
+    assert s["n_aids_compared"] == 2
+    # reverse direction: aid0 2/3 of w2v backed, aid1 1/2
+    assert abs(s["w2vec_x_co_count"] - (2 / 3 + 0.5) / 2) < 1e-9
+
+
+def test_w2vec_covis_overlap_empty():
+    import numpy as np
+
+    from otto_tpu.eval.diagnostics import w2vec_covis_overlap
+
+    z = np.full((4, 3), -1, np.int32)
+    s = w2vec_covis_overlap(z, z)
+    assert s["n_aids_compared"] == 0
+
+
+def test_fast_pull_roundtrip():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from otto_tpu.utils.transfer import fast_pull
+
+    x = jnp.arange(3 * 1000 * 17, dtype=jnp.int32).reshape(3, 1000, 17) * 3
+    got = fast_pull(x, chunk_bytes=4096)  # force many chunks
+    np.testing.assert_array_equal(got, np.asarray(x))
+    small = jnp.ones((4,), jnp.float32)
+    np.testing.assert_array_equal(fast_pull(small), np.ones(4, np.float32))
+    h = np.arange(5)
+    assert fast_pull(h) is h

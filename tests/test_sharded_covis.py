@@ -46,6 +46,7 @@ def test_sharded_equals_single_device():
     table = update(
         table,
         jnp.asarray(mb.aid), jnp.asarray(mb.ts), jnp.asarray(mb.type),
+        jnp.zeros_like(jnp.asarray(mb.aid)),  # one session per row
     )
 
     got_by_type = gather_tagged_table(table, cfg.names)
@@ -75,7 +76,8 @@ def test_sharded_ownership():
     cap = 1 << 13
     table = make_sharded_table(cap, mesh, axis="data")
     table = update(
-        table, jnp.asarray(mb.aid), jnp.asarray(mb.ts), jnp.asarray(mb.type)
+        table, jnp.asarray(mb.aid), jnp.asarray(mb.ts), jnp.asarray(mb.type),
+        jnp.zeros_like(jnp.asarray(mb.aid)),
     )
     t = np.asarray(table.aid)
     c = np.asarray(table.count)

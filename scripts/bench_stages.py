@@ -37,14 +37,33 @@ import numpy as np
 
 RESULTS = []
 
+# v5e (lite) chip peaks for the roofline columns: 197 TFLOP/s bf16 MXU,
+# 819 GB/s HBM. f32 matmul on the MXU runs via 3-pass bf16 (~1/3 peak).
+PEAK_BF16_FLOPS = 197e12
+PEAK_F32_FLOPS = PEAK_BF16_FLOPS / 3
+PEAK_HBM_BPS = 819e9
 
-def emit(stage, value, unit, baseline):
+
+def emit(stage, value, unit, baseline, *, wall_s=None, flops=None,
+         bytes_moved=None, peak_flops=PEAK_BF16_FLOPS):
+    """flops/bytes_moved are per-run ANALYTIC totals (formula at the call
+    site); with wall_s they yield achieved TFLOP/s / GB/s and a
+    %-of-roofline column (SURVEY §5.1 roofline accounting)."""
     row = {
         "metric": stage,
         "value": round(value, 1),
         "unit": unit,
         "vs_baseline": round(value / baseline, 2) if baseline else None,
     }
+    if wall_s:
+        if flops is not None:
+            row["achieved_tflops"] = round(flops / wall_s / 1e12, 2)
+            row["pct_of_flops_roofline"] = round(
+                100 * flops / wall_s / peak_flops, 1)
+        if bytes_moved is not None:
+            row["achieved_gbps"] = round(bytes_moved / wall_s / 1e9, 1)
+            row["pct_of_hbm_roofline"] = round(
+                100 * bytes_moved / wall_s / PEAK_HBM_BPS, 1)
     RESULTS.append(row)
     print(json.dumps(row), flush=True)
 
@@ -98,8 +117,16 @@ def main():
         covis_run()                                # warmup/compile
         t = time.time()
         covis_run()
-        emit("covis_events_per_s", len(ev) / (time.time() - t), "events/s",
-             220e6 / (50 * 60))
+        wall = time.time() - t
+        # sort-bound: emitted grid lanes ride ~4 sort passes of 2 i32
+        # operands, read+write (ladder levels + top merge)
+        from otto_tpu.data.batching import dedup_events, pack_sessions_filled
+        lanes = sum(f.n_rows * f.max_len ** 2
+                    for f in pack_sessions_filled(dedup_events(ev),
+                                                  CoVisCounter(CoVisConfig()).bucket_lens))
+        emit("covis_events_per_s", len(ev) / wall, "events/s",
+             220e6 / (50 * 60), wall_s=wall,
+             bytes_moved=lanes * 4 * 2 * 2 * 4)
 
     # ---- w2vec SGNS (C8) ----------------------------------------------------
     if should("sgns"):
@@ -134,8 +161,11 @@ def main():
         _, l = sgns_epoch_device(params, *args, cfg.batch_size, cfg.window,
                                  cfg.negatives, STEPS, key, "chunk")
         device_sync(l)
-        emit("sgns_pairs_per_s", cfg.batch_size * STEPS / (time.time() - t),
-             "pairs/s", 426_000)
+        wall = time.time() - t
+        # 3 table passes (fwd + 2 grads) x 2 flops x B x D x (1 pos + negs)
+        flops = 3 * 2 * cfg.batch_size * cfg.padded_dim * (1 + cfg.negatives) * STEPS
+        emit("sgns_pairs_per_s", cfg.batch_size * STEPS / wall,
+             "pairs/s", 426_000, wall_s=wall, flops=flops)
 
     # ---- exact kNN (C9) ----------------------------------------------------
     if should("knn"):
@@ -146,7 +176,10 @@ def main():
         knn_search(emb[:nq], emb, 20, metric="l2")
         t = time.time()
         knn_search(emb[:nq], emb, 20, metric="l2")
-        emit("knn_queries_per_s", nq / (time.time() - t), "queries/s", 1400)
+        wall = time.time() - t
+        emit("knn_queries_per_s", nq / wall, "queries/s", 1400,
+             wall_s=wall, flops=2 * nq * NA * emb.shape[1],
+             peak_flops=PEAK_F32_FLOPS)
 
     # ---- session embeddings (C10) -------------------------------------------
     if should("session_emb"):
@@ -164,8 +197,12 @@ def main():
                 jnp.asarray(p.aid), jnp.asarray(p.ts), jnp.asarray(p.type), table)
             n += p.n_sessions
         device_sync(out)
-        emit("session_emb_sessions_per_s", n / (time.time() - t), "sessions/s",
-             12.9e6 / (12 * 60))
+        wall = time.time() - t
+        # gather-bound: one [D] f32 table row + weights per event lane
+        lanes = sum(p.aid.size for p in packs)
+        emit("session_emb_sessions_per_s", n / wall, "sessions/s",
+             12.9e6 / (12 * 60), wall_s=wall,
+             bytes_moved=lanes * (100 * 4 + 12))
 
     # ---- kmeans (C11) --------------------------------------------------------
     if should("kmeans"):
@@ -179,8 +216,11 @@ def main():
         t = time.time()
         iters = 100
         kmeans_fit(x, 50, max_iter=iters, tol=0.0, seed=0)
-        emit("kmeans_point_iters_per_s", len(x) * iters / (time.time() - t),
-             "point-iters/s", 896_000)
+        wall = time.time() - t
+        emit("kmeans_point_iters_per_s", len(x) * iters / wall,
+             "point-iters/s", 896_000, wall_s=wall,
+             flops=2 * len(x) * 50 * x.shape[1] * iters,
+             peak_flops=PEAK_F32_FLOPS)
 
     # ---- popularity (C12) ----------------------------------------------------
     if should("popularity"):
@@ -190,8 +230,11 @@ def main():
         compute_popularity(ev, clusters, 50, NA, pcfg)  # warmup
         t = time.time()
         compute_popularity(ev, clusters, 50, NA, pcfg)
-        emit("popularity_events_per_s", len(ev) / (time.time() - t), "events/s",
-             220e6 / (10 * 60))
+        wall = time.time() - t
+        # sort-bound: ~3 sort passes of ~6 i32 columns, read+write
+        emit("popularity_events_per_s", len(ev) / wall, "events/s",
+             220e6 / (10 * 60), wall_s=wall,
+             bytes_moved=len(ev) * 6 * 4 * 3 * 2)
 
     # ---- gbdt train + scoring (C16, C17) --------------------------------------
     if should("gbdt"):
@@ -212,9 +255,16 @@ def main():
         t = time.time()
         out = _train_program(bins, labels, mask, gcfg, scores0=z, tree_ids=tids)
         device_sync(out)
-        emit("gbdt_train_row_trees_per_s",
-             NG * G * gcfg.trees_per_dispatch / (time.time() - t),
-             "row-trees/s", 1.2e6)
+        wall = time.time() - t
+        # bf16 MXU work per tree: histogram einsum N x Fs x n_bins x (W*3)
+        # per level + the one-hot column-subsample matmul N x F x Fs
+        T, N = gcfg.trees_per_dispatch, NG * G
+        Fs = max(1, int(round(gcfg.colsample * F)))
+        W = 1 << (gcfg.max_depth - 1)
+        flops = T * (gcfg.max_depth * 2 * N * Fs * gcfg.n_bins * W * 3
+                     + 2 * N * F * Fs)
+        emit("gbdt_train_row_trees_per_s", N * T / wall,
+             "row-trees/s", 1.2e6, wall_s=wall, flops=flops)
 
         gfeat, thr, _gain, leaf, _scores = out
         sc = _predict_binned_program(bins, gfeat, thr, leaf, gcfg.n_bins)
@@ -222,8 +272,13 @@ def main():
         t = time.time()
         sc = _predict_binned_program(bins, gfeat, thr, leaf, gcfg.n_bins)
         device_sync(sc)
-        emit("gbdt_score_rows_per_s", NG * G / (time.time() - t), "rows/s",
-             239_000)
+        wall = time.time() - t
+        # gather/select-bound: per level one [M, F] uint8 bin read + the
+        # [M, T] i32 node state read+write
+        M, T = NG * G, gfeat.shape[0]
+        emit("gbdt_score_rows_per_s", M / wall, "rows/s", 239_000,
+             wall_s=wall,
+             bytes_moved=gcfg.max_depth * (M * F + M * T * 4 * 2))
 
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "BENCH_STAGES.json"), "w") as fh:

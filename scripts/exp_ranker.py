@@ -194,6 +194,25 @@ def main():
     for r in rows:
         print(json.dumps(r))
 
+    # committed evidence for the ranker-vs-ceiling claim (ARCHITECTURE.md
+    # C16 row): result JSON at the repo root + the per-source retrieval
+    # recall report the pipeline wrote during cache build
+    out = {
+        "spec": {"n_sessions": N_SESSIONS, "n_aids": N_AIDS,
+                 "mean_len": 12, "seed": 7},
+        "ceiling": {k: round(v, 5) for k, v in metrics.items()},
+        "variants": rows,
+    }
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "EXP_RANKER.json"), "w") as fh:
+        json.dump(out, fh, indent=2)
+    src = os.path.join(WORK, "eval_retrieved_sources.json")
+    if os.path.exists(src):
+        import shutil
+
+        shutil.copy(src, os.path.join(root, "EXP_RETRIEVED_SOURCES.json"))
+    log.info("wrote EXP_RANKER.json (+ EXP_RETRIEVED_SOURCES.json)")
+
 
 if __name__ == "__main__":
     main()

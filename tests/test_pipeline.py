@@ -70,6 +70,27 @@ def test_pipeline_produces_all_artifacts(pipeline_metrics):
         assert os.path.exists(os.path.join(work, f)), f
 
 
+# Golden-metric regression pins (VERDICT round-1 item 3): recorded from a
+# seeded CPU run of exactly the fixture's spec+config (2026-08-20). The
+# pipeline is deterministic per platform; the tolerance absorbs cross-
+# platform reduction-order drift (CPU vs virtual-mesh CI vs TPU), NOT
+# algorithm changes — a real recall regression trips these long before it
+# trips the loose sanity bounds below.
+GOLDEN = {
+    "ceiling_clicks": 0.61972, "ceiling_carts": 0.50615,
+    "ceiling_orders": 0.71264, "ceiling_total": 0.64140,
+    "clicks": 0.46351, "carts": 0.37910, "orders": 0.65517,
+    "total": 0.55318,
+}
+
+
+def test_pipeline_golden_metrics(pipeline_metrics):
+    _, m = pipeline_metrics
+    for k, want in GOLDEN.items():
+        tol = 0.005 if k.startswith("ceiling") else 0.03
+        assert abs(m[k] - want) < tol, (k, m[k], want)
+
+
 def test_pipeline_metrics_sane(pipeline_metrics):
     _, m = pipeline_metrics
     # retrieval ceiling must exceed the ranked top-20 recall

@@ -150,6 +150,152 @@ def _emit_run_step(
     )
 
 
+class CountLadder:
+    """Log-structured merge ladder over fixed-size raw CountTable runs.
+
+    Generic accumulation core shared by CoVisCounter (tagged co-event
+    pairs) and PopularityCounter (tagged (cluster, type, recent) x aid
+    counts): raw runs of uniform size P are stored unsorted; every `arity`
+    runs at level k merge losslessly into one level-(k+1) run of capacity
+    arity^(k+1) * P. Fully-merged top-level runs either spill LOSSLESSLY to
+    a host store (spill=True) or fold into a bounded device table with
+    per-tag in-part min-count overflow pruning (spill=False) — see
+    CoVisCounter's docstring for the cost model."""
+
+    def __init__(
+        self,
+        run_size: int,
+        top_capacity: int,
+        min_in_part: Tuple[int, ...],
+        stride: int,
+        arity: int = 4,
+        max_run_rows: int = 1 << 25,
+        spill: bool = True,
+    ):
+        self.run_size = run_size
+        self.arity = arity
+        self.stride = stride
+        self._min_in_part = min_in_part
+        levels = 0
+        while arity ** (levels + 1) * run_size <= max_run_rows:
+            levels += 1
+        self.n_levels = levels
+        self._runs: List[List[Tuple[CountTable, bool]]] = [
+            [] for _ in range(levels)
+        ]
+        self.spill = spill
+        self._store = counts_ops.HostRunStore() if spill else None
+        self._top: CountTable = counts_ops.empty_table(top_capacity)
+
+    # --- device->host spill -------------------------------------------------
+    def _spill_run(self, run: CountTable, compacted: bool) -> None:
+        """Pull one fully-merged run to the host store (sorted, compacted)."""
+        if not compacted:  # raw unit-count run: compact on device first
+            run = counts_ops.merge_runs_compact_raw((run,))
+        run = self._squeeze(run)
+        n = int(run.n)
+        if n == 0:
+            return
+        # pull the squeezed arrays (capacity <= 2n) and slice on host: a
+        # device [0:n] slice would compile one program per distinct n.
+        # Chunked pulls: single large device->host transfers collapse on
+        # the tunneled runtime (utils/transfer.py measurements)
+        from otto_tpu.utils.transfer import fast_pull
+
+        k1 = fast_pull(run.aid)[:n]
+        k2 = fast_pull(run.aid_next)[:n]
+        c = fast_pull(run.count)[:n]
+        self._store.add_run(k1, k2, c)
+
+    def push(self, run: CountTable) -> None:
+        """Add one raw (unsorted, unit-count) run of size run_size."""
+        self._push(0, run)
+
+    def _push(self, level: int, run: CountTable, compacted: bool = False) -> None:
+        """compacted=True marks merged (front-compacted) runs that still
+        need the occupancy squeeze; raw level-0 runs are already size P."""
+        if level >= self.n_levels:
+            if self.spill:
+                self._spill_run(run, compacted)
+                return
+            self._top = counts_ops.merge_bounded_tagged(
+                self._top,
+                self._squeeze(run) if compacted else run,
+                self._min_in_part,
+                self.stride,
+            )
+            return
+        self._runs[level].append((run, compacted))
+        if len(self._runs[level]) == self.arity:
+            entries, self._runs[level] = self._runs[level], []
+            if not any(c for _, c in entries):
+                # all-raw (level 0): unit counts — keys-only sort variant
+                merged = counts_ops.merge_runs_compact_raw(tuple(
+                    r for r, _ in entries
+                ))
+            else:
+                merged = counts_ops.merge_runs_compact(tuple(
+                    self._squeeze(r) if c else r for r, c in entries
+                ))
+            self._push(level + 1, self._lazy_occupancy(merged), compacted=True)
+
+    @staticmethod
+    def _lazy_occupancy(t: CountTable) -> CountTable:
+        """Schedule the occupancy scalar's device->host transfer WITHOUT
+        blocking. The squeeze decision is deferred until the run is
+        consumed (arity microbatches later), by which point the transfer
+        has long completed — the eager int(t.n) here used to hard-sync the
+        whole device queue once per level merge (~21 pipeline bubbles per
+        200k-session chunk).
+
+        Memory tradeoff: deferring the squeeze means pending ladder runs
+        are held UNSQUEEZED (capacity = sum of input capacities, up to
+        arity^k * P each) until consumed — up to ~arity x more device
+        memory per pending run than the squeezed form. Still within the
+        documented (arity-1) * sum_k arity^k * P worst case; lower
+        `max_run_rows` if HBM headroom is tight."""
+        try:
+            t.n.copy_to_host_async()
+        except (AttributeError, NotImplementedError):
+            pass  # tracer or backend without async copy: squeeze will sync
+        return t
+
+    def _squeeze(self, t: CountTable) -> CountTable:
+        """Slice a compacted run down to the smallest power-of-two-of-P size
+        holding its uniques. Raw pair grids are ~80-90% padding/invalid
+        lanes (dt window + session padding), so without this every ladder
+        level sorts mostly dead rows. Occupancy was async-prefetched at
+        merge time (_lazy_occupancy), so int() rarely blocks."""
+        n = int(t.n)
+        size = self.run_size
+        while size < n:
+            size *= 2
+        if size >= t.capacity:
+            return t
+        return counts_ops.slice_table(t, size)
+
+    def drain(self) -> None:
+        """Fold all pending ladder runs into the top table / host store."""
+        for level in range(self.n_levels):
+            entries, self._runs[level] = self._runs[level], []
+            for run, compacted in entries:
+                if self.spill:
+                    self._spill_run(run, compacted)
+                    continue
+                self._top = counts_ops.merge_bounded_tagged(
+                    self._top,
+                    self._squeeze(run) if compacted else run,
+                    self._min_in_part,
+                    self.stride,
+                )
+
+    def host_merged(self):
+        """(k1, k2, count) host arrays, globally merged (spill mode)."""
+        assert self.spill
+        self.drain()
+        return self._store.merged()
+
+
 class CoVisCounter:
     """Stateful device-side counter over streamed event chunks.
 
@@ -200,110 +346,35 @@ class CoVisCounter:
         self.pair_budget = pair_budget
         self.bucket_lens = tuple(bucket_lens)
         self.arity = arity
+        self.spill = (
+            getattr(cfg, "host_spill", False) if spill is None else spill
+        )
         # ladder height: every extra level strictly reduces amortized sort
         # volume (level merges cost ~2P rows/microbatch each; the top merge
         # costs 2*(C + arity^K*P)/arity^K, shrinking as K grows), so K is
         # bounded only by run MEMORY: pending runs total
         # ~(arity-1) * sum_k arity^k * P rows. max_run_rows (default 32M
         # rows = 384 MB at 12 B/row) caps the largest run.
-        levels = 0
-        while arity ** (levels + 1) * pair_budget <= max_run_rows:
-            levels += 1
-        self.n_levels = levels
-        # per level: (run, needs_occupancy_squeeze) pending entries
-        self._runs: List[List[Tuple[CountTable, bool]]] = [
-            [] for _ in range(levels)
-        ]
-        self._top: CountTable = counts_ops.empty_table(self.capacity)
-        self._min_in_part = tuple(
-            max(1, cfg.min_count_in_part.get(name, 1)) for name in cfg.names
+        self._ladder = CountLadder(
+            run_size=pair_budget,
+            top_capacity=self.capacity,
+            min_in_part=tuple(
+                max(1, cfg.min_count_in_part.get(name, 1))
+                for name in cfg.names
+            ),
+            stride=pairs_ops.AID_STRIDE,
+            arity=arity,
+            max_run_rows=max_run_rows,
+            spill=self.spill,
         )
-        self.spill = (
-            getattr(cfg, "host_spill", False) if spill is None else spill
-        )
-        self._store = counts_ops.HostRunStore() if self.spill else None
 
-    def _spill_run(self, run: CountTable, compacted: bool) -> None:
-        """Pull one fully-merged run to the host store (sorted, compacted)."""
-        if not compacted:  # raw unit-count run: compact on device first
-            run = counts_ops.merge_runs_compact_raw((run,))
-        run = self._squeeze(run)
-        n = int(run.n)
-        if n == 0:
-            return
-        # pull the squeezed arrays (capacity <= 2n) and slice on host: a
-        # device [0:n] slice would compile one program per distinct n.
-        # Chunked pulls: single large device->host transfers collapse on the
-        # tunneled runtime (utils/transfer.py measurements)
-        from otto_tpu.utils.transfer import fast_pull
+    @property
+    def n_levels(self) -> int:
+        return self._ladder.n_levels
 
-        k1 = fast_pull(run.aid)[:n]
-        k2 = fast_pull(run.aid_next)[:n]
-        c = fast_pull(run.count)[:n]
-        self._store.add_run(k1, k2, c)
-
-    def _push(self, level: int, run: CountTable, compacted: bool = False) -> None:
-        """compacted=True marks merged (front-compacted) runs that still
-        need the occupancy squeeze; raw level-0 runs are already size P."""
-        if level >= self.n_levels:
-            if self.spill:
-                self._spill_run(run, compacted)
-                return
-            self._top = counts_ops.merge_bounded_tagged(
-                self._top,
-                self._squeeze(run) if compacted else run,
-                self._min_in_part,
-                pairs_ops.AID_STRIDE,
-            )
-            return
-        self._runs[level].append((run, compacted))
-        if len(self._runs[level]) == self.arity:
-            entries, self._runs[level] = self._runs[level], []
-            if not any(c for _, c in entries):
-                # all-raw (level 0): unit counts — keys-only sort variant
-                merged = counts_ops.merge_runs_compact_raw(tuple(
-                    r for r, _ in entries
-                ))
-            else:
-                merged = counts_ops.merge_runs_compact(tuple(
-                    self._squeeze(r) if c else r for r, c in entries
-                ))
-            self._push(level + 1, self._lazy_occupancy(merged), compacted=True)
-
-    @staticmethod
-    def _lazy_occupancy(t: CountTable) -> CountTable:
-        """Schedule the occupancy scalar's device->host transfer WITHOUT
-        blocking. The squeeze decision is deferred until the run is
-        consumed (arity microbatches later), by which point the transfer
-        has long completed — the eager int(t.n) here used to hard-sync the
-        whole device queue once per level merge (~21 pipeline bubbles per
-        200k-session chunk).
-
-        Memory tradeoff: deferring the squeeze means pending ladder runs
-        are held UNSQUEEZED (capacity = sum of input capacities, up to
-        arity^k * P each) until consumed — up to ~arity x more device
-        memory per pending run than the squeezed form. Still within the
-        documented (arity-1) * sum_k arity^k * P worst case; lower
-        `max_run_rows` if HBM headroom is tight."""
-        try:
-            t.n.copy_to_host_async()
-        except (AttributeError, NotImplementedError):
-            pass  # tracer or backend without async copy: squeeze will sync
-        return t
-
-    def _squeeze(self, t: CountTable) -> CountTable:
-        """Slice a compacted run down to the smallest power-of-two-of-P size
-        holding its uniques. Raw pair grids are ~80-90% padding/invalid
-        lanes (dt window + session padding), so without this every ladder
-        level sorts mostly dead rows. Occupancy was async-prefetched at
-        merge time (_lazy_occupancy), so int() rarely blocks."""
-        n = int(t.n)
-        size = self.pair_budget
-        while size < n:
-            size *= 2
-        if size >= t.capacity:
-            return t
-        return counts_ops.slice_table(t, size)
+    @property
+    def _store(self):
+        return self._ladder._store
 
     def update(self, events: Events) -> None:
         """Count all co-event pairs in a chunk of sessions. Sessions must be
@@ -329,33 +400,16 @@ class CoVisCounter:
                     jnp.asarray(mb.type),
                     jnp.asarray(mb.sess),
                 )
-                self._push(0, run)
-
-    def _drain(self) -> None:
-        """Fold all pending ladder runs into the bounded top table (or the
-        host store when spilling)."""
-        for level in range(self.n_levels):
-            entries, self._runs[level] = self._runs[level], []
-            for run, compacted in entries:
-                if self.spill:
-                    self._spill_run(run, compacted)
-                    continue
-                self._top = counts_ops.merge_bounded_tagged(
-                    self._top,
-                    self._squeeze(run) if compacted else run,
-                    self._min_in_part,
-                    pairs_ops.AID_STRIDE,
-                )
+                self._ladder.push(run)
 
     @property
     def tables(self) -> Dict[str, CountTable]:
         """Per-type untagged count tables. Device mode: capacity =
         per_type_capacity. Spill mode: numpy-backed CountTables of exact
         occupancy (host RAM is the capacity bound, as in the reference)."""
-        self._drain()
         out: Dict[str, CountTable] = {}
         if self.spill:
-            k1, k2, cnt = self._store.merged()
+            k1, k2, cnt = self._ladder.host_merged()
             stride = pairs_ops.AID_STRIDE
             for i, name in enumerate(self.cfg.names):
                 lo, hi = np.searchsorted(k1, [i * stride, (i + 1) * stride])
@@ -366,9 +420,10 @@ class CoVisCounter:
                     n=np.int32(hi - lo),
                 )
             return out
+        self._ladder.drain()
         for i, name in enumerate(self.cfg.names):
             out[name] = counts_ops.extract_tag(
-                self._top,
+                self._ladder._top,
                 jnp.int32(i),
                 pairs_ops.AID_STRIDE,
                 self.per_type_capacity,

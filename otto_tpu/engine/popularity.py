@@ -6,9 +6,18 @@ rank <= keep_top_k (reference: model/count_popularity.py:56-85). The pseudo
 clustering cl1 (all sessions in one cluster — general popularity,
 reference :39-41) is the n_clusters=1 case.
 
-Device shape: one sort_compress_multi over (cluster, aid) keys with six
-count columns, then per-cluster ordinal ranks, then scatter into dense
-[n_clusters, top_slots] candidate tables for retrieval.
+Device shape: events stream through fixed-size microbatches; each event
+emits up to two tagged count lanes (kind = type for all-time, type+3 when
+inside the 7-day window) with key (kind * n_clusters + cluster, aid) into
+the same CountLadder the co-vis counter uses (engine/covis.py). Rank and
+dense-table building happen host-side over the merged uniques.
+
+Why not one whole-dataset program: the previous design padded the full
+event axis to a power of two and sorted it in a single jit — at 16M+
+events the compile alone took tens of minutes on the tunneled runtime and
+the program shape changed with every dataset size. The ladder path compiles
+ONE small fixed-shape emit program, reused for every microbatch and every
+dataset.
 """
 from __future__ import annotations
 
@@ -22,6 +31,7 @@ import numpy as np
 from otto_tpu.config import PopularityConfig
 from otto_tpu.data.schema import Events
 from otto_tpu.ops import segment as seg
+from otto_tpu.ops.counts import CountTable
 
 N_COUNTS = 6  # clicks, carts, orders, clicks_7d, carts_7d, orders_7d
 COUNT_NAMES = ("clicks", "carts", "orders", "clicks_7d", "carts_7d", "orders_7d")
@@ -44,54 +54,87 @@ class PopularityTables(NamedTuple):
     aid_rank: np.ndarray
 
 
-@partial(jax.jit, static_argnums=(5, 6, 7, 8, 9))
-def _popularity_device(
-    cluster, aid, type_, ts,
-    ts_7d,  # traced scalar: varies per dataset, must not trigger recompiles
-    n_clusters: int, n_aids: int, top_slots: int, keep_top_k: int,
-    rank_clip: int = 999,
-):
-    """One compiled program: groupby (cluster, aid) -> 6 counts -> per-
-    cluster ordinal ranks -> dense candidate/rank tables."""
-    vals = []
-    for t in (0, 1, 2):
-        vals.append((type_ == t).astype(jnp.int32))
-    for t in (0, 1, 2):
-        vals.append(((type_ == t) & (ts > ts_7d)).astype(jnp.int32))
+@partial(jax.jit, static_argnums=(5,))
+def _pop_emit(cluster, aid, type_, ts, ts_7d, n_clusters: int) -> CountTable:
+    """One microbatch -> raw tagged count run (2 lanes/event: all-time kind
+    and, when ts > ts_7d, the recent kind). Padded lanes carry aid == -1."""
     valid = aid >= 0
-    uk_cl, uk_aid, counts, _ = seg.sort_compress_multi(
-        cluster, aid, tuple(vals), valid
-    )
+    k1a = type_.astype(jnp.int32) * n_clusters + cluster
+    recent = valid & (ts > ts_7d)
+    k1 = jnp.concatenate([
+        jnp.where(valid, k1a, seg.SENTINEL),
+        jnp.where(recent, k1a + 3 * n_clusters, seg.SENTINEL),
+    ])
+    k2 = jnp.concatenate([
+        jnp.where(valid, aid, seg.SENTINEL),
+        jnp.where(recent, aid, seg.SENTINEL),
+    ])
+    cnt = jnp.concatenate([valid, recent]).astype(jnp.int32)
+    n = (jnp.sum(valid) + jnp.sum(recent)).astype(jnp.int32)
+    return CountTable(k1, k2, cnt, n)
 
-    v = uk_cl != seg.SENTINEL
-    ranks = []
-    for c in counts:
-        r = seg.ordinal_rank_desc(uk_cl, c, v)
-        ranks.append(jnp.clip(r, None, rank_clip))
-    ranks = jnp.stack(ranks, axis=-1)  # [N, 6]
 
-    best = jnp.min(ranks, axis=-1)
-    keep = v & (best <= keep_top_k)
+def _segment_starts(sorted_keys: np.ndarray) -> np.ndarray:
+    first = np.empty(len(sorted_keys), bool)
+    first[0] = True
+    np.not_equal(sorted_keys[1:], sorted_keys[:-1], out=first[1:])
+    return np.flatnonzero(first)
 
-    slot = seg.ordinal_rank_desc(uk_cl, -best, keep) - 1
-    cl_c = jnp.where(keep, uk_cl, n_clusters)
-    cand = (
-        jnp.full((n_clusters, top_slots), -1, jnp.int32)
-        .at[cl_c, slot]
-        .set(uk_aid, mode="drop")
-    )
-    rank_t = (
-        jnp.full((n_clusters, top_slots, N_COUNTS), rank_clip, jnp.int32)
-        .at[cl_c, slot]
-        .set(ranks, mode="drop")
-    )
-    aid_c = jnp.where(v, uk_aid, n_aids)
-    aid_rank = (
-        jnp.full((n_aids, N_COUNTS), rank_clip, jnp.int32)
-        .at[aid_c]
-        .set(ranks, mode="drop")
-    )
-    return cand, rank_t, aid_rank
+
+def _host_pop_tables(
+    k1: np.ndarray, k2: np.ndarray, cnt: np.ndarray,
+    n_clusters: int, n_aids: int, top_slots: int,
+    keep_top_k: int, rank_clip: int,
+) -> PopularityTables:
+    """Merged tagged counts -> ranks -> dense candidate/rank tables
+    (reference semantics: model/count_popularity.py:61-85)."""
+    cand = np.full((n_clusters, top_slots), -1, np.int32)
+    rank_t = np.full((n_clusters, top_slots, N_COUNTS), rank_clip, np.int32)
+    aid_rank = np.full((n_aids, N_COUNTS), rank_clip, np.int32)
+    if len(k1) == 0:
+        return PopularityTables(cand, rank_t, aid_rank)
+
+    kind = k1 // n_clusters
+    cluster = k1 - kind * n_clusters
+    ckey = cluster.astype(np.int64) * n_aids + k2
+    # per-kind slices of the merged stream are already (cluster, aid)-sorted,
+    # so a stable argsort is a near-linear 6-way run merge (timsort)
+    order = np.argsort(ckey, kind="stable")
+    ck_s = ckey[order]
+    starts = _segment_starts(ck_s)
+    group = np.zeros(len(ck_s), np.int64)
+    group[starts] = 1
+    group = np.cumsum(group) - 1
+    U = len(starts)
+    counts = np.zeros((U, N_COUNTS), np.int64)
+    counts[group, kind[order]] = cnt[order]
+    uk = ck_s[starts]
+    ucl = (uk // n_aids).astype(np.int32)
+    uaid = (uk - ucl.astype(np.int64) * n_aids).astype(np.int32)
+
+    # per-cluster ordinal ranks, count desc (ucl is ascending already)
+    ranks = np.empty((U, N_COUNTS), np.int32)
+    pos = np.arange(U, dtype=np.int64)
+    for j in range(N_COUNTS):
+        o = np.lexsort((-counts[:, j], ucl))
+        cl_s = ucl[o]
+        st = _segment_starts(cl_s)
+        start_of = np.repeat(st, np.diff(np.append(st, U)))
+        ranks[o, j] = np.minimum(pos - start_of + 1, rank_clip)
+
+    best = ranks.min(axis=1)
+    keep = np.flatnonzero(best <= keep_top_k)
+    o = keep[np.lexsort((best[keep], ucl[keep]))]
+    cl_s = ucl[o]
+    if len(cl_s):
+        st = _segment_starts(cl_s)
+        start_of = np.repeat(st, np.diff(np.append(st, len(cl_s))))
+        slot = np.arange(len(cl_s)) - start_of
+        ok = slot < top_slots
+        cand[cl_s[ok], slot[ok]] = uaid[o][ok]
+        rank_t[cl_s[ok], slot[ok]] = ranks[o][ok]
+    aid_rank[uaid] = ranks
+    return PopularityTables(cand, rank_t, aid_rank)
 
 
 def compute_popularity(
@@ -101,37 +144,46 @@ def compute_popularity(
     n_aids: int,
     cfg: PopularityConfig,
     top_slots: int = 128,
+    event_budget: int = 1 << 22,
 ) -> PopularityTables:
     """Host driver. `session_cluster` is per-EVENT cluster assignment
     (gather cluster-of-session on host before the call)."""
-    ts_max = int(events.ts.max()) if len(events) else 0
+    from otto_tpu.engine.covis import CountLadder
+
+    n = len(events.aid)
+    ts_max = int(events.ts.max()) if n else 0
     ts_7d = ts_max - cfg.recent_window
 
-    # pad the event axis to a power of two: the compiled program's shape set
-    # must not depend on the exact dataset size (remote compiles cost ~40-80s
-    # per shape; the padded lanes carry aid == -1 and are masked out)
-    n = len(events.aid)
-    n_pad = max(8, 1 << (n - 1).bit_length()) if n else 8
-    pad = n_pad - n
-
-    def _p(x, fill):
-        x = np.asarray(x, np.int32)
-        return np.pad(x, (0, pad), constant_values=fill) if pad else x
-
-    cand, rank_t, aid_rank = _popularity_device(
-        jnp.asarray(_p(session_cluster, 0)),
-        jnp.asarray(_p(events.aid, -1)),
-        jnp.asarray(_p(events.type, 0)),
-        jnp.asarray(_p(events.ts, 0)),
-        jnp.int32(ts_7d),
-        n_clusters,
-        n_aids,
-        top_slots,
-        cfg.keep_top_k,
-        cfg.rank_clip,
+    # fixed microbatch of P events (pad tail with aid == -1): one compiled
+    # emit program per (P, n_clusters) for the whole run
+    P = min(event_budget, max(8, 1 << (n - 1).bit_length()) if n else 8)
+    ladder = CountLadder(
+        run_size=2 * P,
+        top_capacity=8,
+        min_in_part=(1,) * N_COUNTS,
+        stride=n_clusters,
+        spill=True,
     )
-    return PopularityTables(
-        candidate=np.asarray(cand),
-        ranks=np.asarray(rank_t),
-        aid_rank=np.asarray(aid_rank),
+    cl = np.ascontiguousarray(session_cluster, np.int32)
+    for lo in range(0, max(n, 1), P):
+        hi = min(lo + P, n)
+        pad = P - (hi - lo)
+
+        def _p(x, fill):
+            x = np.asarray(x[lo:hi], np.int32)
+            return np.pad(x, (0, pad), constant_values=fill) if pad else x
+
+        run = _pop_emit(
+            jnp.asarray(_p(cl, 0)),
+            jnp.asarray(_p(events.aid, -1)),
+            jnp.asarray(_p(events.type, 0)),
+            jnp.asarray(_p(events.ts, 0)),
+            jnp.int32(ts_7d),
+            n_clusters,
+        )
+        ladder.push(run)
+    k1, k2, cnt = ladder.host_merged()
+    return _host_pop_tables(
+        k1, k2, cnt, n_clusters, n_aids, top_slots,
+        cfg.keep_top_k, cfg.rank_clip,
     )

@@ -51,18 +51,30 @@ def session_embedding_batch(
 
 
 def compute_session_embeddings(
-    padded_batches, emb_table: np.ndarray
+    padded_batches, emb_table: np.ndarray, lane_budget: int = 1 << 19
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Host driver over bucketed batches -> (session_ids [N], emb [N, D])."""
+    """Host driver over bucketed batches -> (session_ids [N], emb [N, D]).
+
+    Buckets are micro-batched to ~lane_budget [S, L] lanes per dispatch:
+    the gathered [S, L, D] vector grid is ~512 B/lane at D=128, so a whole
+    10M-session bucket in one dispatch would materialize tens of GB
+    (reference-scale OOM); fixed power-of-two microbatch shapes also keep
+    the compiled-program set at one per bucket length."""
+    from otto_tpu.data.batching import iter_microbatches
+
     table = jnp.asarray(emb_table)
     sids, embs = [], []
     for p in padded_batches:
-        e = session_embedding_batch(
-            jnp.asarray(p.aid), jnp.asarray(p.ts), jnp.asarray(p.type), table
-        )
-        keep = p.session >= 0
-        sids.append(p.session[keep])
-        embs.append(np.asarray(e)[keep])
+        L = p.aid.shape[1]
+        rows = max(8, 1 << (max(1, lane_budget // L).bit_length() - 1))
+        for mb in iter_microbatches(p, min(rows, 1 << 20)):
+            e = session_embedding_batch(
+                jnp.asarray(mb.aid), jnp.asarray(mb.ts), jnp.asarray(mb.type),
+                table,
+            )
+            keep = mb.session >= 0
+            sids.append(mb.session[keep])
+            embs.append(np.asarray(e)[keep])
     session = np.concatenate(sids)
     emb = np.concatenate(embs)
     order = np.argsort(session)

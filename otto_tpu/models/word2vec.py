@@ -148,8 +148,8 @@ _SHARED_NEG_FACTOR = 8
 
 def _sgns_step_body(
     params: SGNSParams,
-    words: jnp.ndarray,      # [S, L] int32 word ids, -1 pad
-    cum_len: jnp.ndarray,    # [S+1] int32 cumulative session lengths
+    words: jnp.ndarray,      # [N] int32 word ids, FLAT ragged corpus
+    cum_len: jnp.ndarray,    # [S+1] int32 session start offsets into words
     neg_cdf: jnp.ndarray,    # [V] float32
     keep_prob: jnp.ndarray,  # [V] float32 subsampling keep probability
     lr: jnp.ndarray,
@@ -159,18 +159,24 @@ def _sgns_step_body(
     key: jnp.ndarray,
     neg_mode: str = "pair",
 ) -> Tuple[SGNSParams, jnp.ndarray]:
-    S, L = words.shape
+    # FLAT corpus layout: sessions are contiguous runs words[cum_len[s] :
+    # cum_len[s+1]] — zero padding, so the whole 220M-event OTTO corpus is
+    # ~880 MB on device (the padded [S, L] grid it replaced needed 13 GB at
+    # reference scale and would not fit HBM next to the embedding tables).
+    N = words.shape[0]
+    S = cum_len.shape[0] - 1
     total = cum_len[-1]
     k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
 
     # sample positions proportional to session length (matches the gensim
     # sweep where long sessions contribute more pairs)
     u = jax.random.uniform(k1, (batch,)) * total.astype(jnp.float32)
-    flat = u.astype(jnp.int32)
+    flat = jnp.minimum(u.astype(jnp.int32), total - 1)
     sess = jnp.searchsorted(cum_len, flat, side="right") - 1
     sess = jnp.clip(sess, 0, S - 1)
-    pos = flat - cum_len[sess]
-    sess_len = cum_len[sess + 1] - cum_len[sess]
+    base = cum_len[sess]
+    pos = flat - base
+    sess_len = cum_len[sess + 1] - base
 
     # dynamic window: b ~ U{1..window}, offset ~ +-U{1..b}
     b = jax.random.randint(k2, (batch,), 1, window + 1)
@@ -178,10 +184,10 @@ def _sgns_step_body(
     sign = jnp.where(jax.random.bernoulli(k4, 0.5, (batch,)), 1, -1)
     ctx_pos = pos + sign * off
     in_bounds = (ctx_pos >= 0) & (ctx_pos < sess_len)
-    ctx_pos = jnp.clip(ctx_pos, 0, L - 1)
+    ctx_idx = base + jnp.clip(ctx_pos, 0, jnp.maximum(sess_len - 1, 0))
 
-    center = words[sess, jnp.clip(pos, 0, L - 1)]
-    context = words[sess, ctx_pos]
+    center = words[jnp.clip(flat, 0, N - 1)]
+    context = words[jnp.clip(ctx_idx, 0, N - 1)]
     valid = in_bounds & (center >= 0) & (context >= 0)
 
     # frequent-word subsampling on both ends (gensim drops words from the
@@ -433,43 +439,55 @@ def sgns_epoch_device(
     )
 
 
+def flat_corpus(
+    ev: Events, vocab: Vocab, types
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Events -> (words [N] int32, cum_len [S+1] int32): the FLAT ragged
+    corpus the device sampler consumes (sessions = contiguous runs; OOV
+    dropped; length-1 sessions dropped — they emit no pairs). Requires
+    events grouped by session (each session's rows contiguous), which the
+    pipeline's session-sorted Events guarantee."""
+    m = np.isin(ev.type, np.asarray(types, np.int8))
+    sess = ev.session[m]
+    words = vocab.word_of_aid[ev.aid[m]]
+    keep = words >= 0
+    sess, words = sess[keep], words[keep]
+    if len(words) == 0:
+        return np.zeros(0, np.int32), np.zeros(1, np.int32)
+    boundary = np.empty(len(sess), bool)
+    boundary[0] = True
+    np.not_equal(sess[1:], sess[:-1], out=boundary[1:])
+    starts = np.flatnonzero(boundary)
+    lens = np.diff(np.append(starts, len(sess)))
+    keep_run = lens >= 2
+    if not keep_run.all():
+        words = words[np.repeat(keep_run, lens)]
+        lens = lens[keep_run]
+    cum = np.zeros(len(lens) + 1, np.int64)
+    np.cumsum(lens, out=cum[1:])
+    if cum[-1] > np.iinfo(np.int32).max:
+        raise ValueError("corpus exceeds int32 offsets")
+    return words.astype(np.int32), cum.astype(np.int32)
+
+
 def train_word2vec_device(
     ev: Events,
     cfg: Word2VecConfig,
     n_aids: Optional[int] = None,
-    max_len: int = 256,
+    max_len: int = 256,   # unused (flat layout); kept for API compat
     checkpoint_path: Optional[str] = None,
 ) -> Word2Vec:
-    """Device-sampled training: sessions upload once as padded word tensors,
-    every step samples pairs + negatives on device (see
-    sgns_step_device_sampled). Preferred at scale."""
-    from otto_tpu.data.batching import pack_sessions
-
+    """Device-sampled training: the corpus uploads once as a FLAT ragged
+    word stream (~4 bytes/event — no padding), every step samples pairs +
+    negatives on device (see sgns_step_device_sampled). Preferred at scale."""
     rng = np.random.default_rng(cfg.seed)
     vocab = build_vocab(ev, cfg.types, cfg.min_count, n_aids)
     if vocab.size == 0:
         raise ValueError("empty vocabulary")
     V = vocab.size
 
-    # sessions -> padded word tensors (single bucket: simplicity beats
-    # padding waste here; OOV words dropped by compacting each row)
-    m = np.isin(ev.type, np.asarray(cfg.types, np.int8))
-    evf = Events(ev.session[m], ev.aid[m], ev.ts[m], ev.type[m])
-    packed = pack_sessions(evf, bucket_lens=(max_len,))
-    rows = []
-    for p in packed:
-        w = vocab.word_of_aid[np.maximum(p.aid, 0)]
-        w = np.where(p.aid >= 0, w, -1)
-        rows.append(w)
-    words = np.concatenate(rows).astype(np.int32)
-    # compact OOV (-1) out of each row, preserving order (stable sort trick)
-    order = np.argsort(words < 0, axis=1, kind="stable")
-    comp = np.take_along_axis(words, order, axis=1)
-    lens = (comp >= 0).sum(axis=1).astype(np.int32)
-    keep_rows = lens >= 2
-    comp, lens = comp[keep_rows], lens[keep_rows]
-    cum = np.zeros(len(lens) + 1, np.int64)
-    np.cumsum(lens, out=cum[1:])
+    comp, cum = flat_corpus(ev, vocab, cfg.types)
+    lens = np.diff(cum)
 
     freq = vocab.counts / max(vocab.counts.sum(), 1)
     if cfg.subsample_t > 0:

@@ -130,27 +130,18 @@ def main():
 
     # ---- w2vec SGNS (C8) ----------------------------------------------------
     if should("sgns"):
+        from otto_tpu.models.word2vec import flat_corpus
+
         cfg = Word2VecConfig()
         vocab = build_vocab(ev, cfg.types, cfg.min_count, NA)
-        packed = pack_sessions(ev, bucket_lens=(256,))
-        rows = []
-        for p in packed:
-            w = vocab.word_of_aid[np.maximum(p.aid, 0)]
-            rows.append(np.where(p.aid >= 0, w, -1))
-        words = np.concatenate(rows).astype(np.int32)
-        order = np.argsort(words < 0, axis=1, kind="stable")
-        comp = np.take_along_axis(words, order, axis=1)
-        lens = (comp >= 0).sum(axis=1).astype(np.int32)
-        comp, lens = comp[lens >= 2], lens[lens >= 2]
-        cum = np.zeros(len(lens) + 1, np.int64)
-        np.cumsum(lens, out=cum[1:])
+        comp, cum = flat_corpus(ev, vocab, cfg.types)
         freq = vocab.counts / max(vocab.counts.sum(), 1)
         keep_prob = np.minimum(
             1.0, np.sqrt(cfg.subsample_t / np.maximum(freq, 1e-12))
             + cfg.subsample_t / np.maximum(freq, 1e-12)).astype(np.float32)
         params = init_params(vocab.size, cfg.vector_size, cfg.seed)
         neg_cdf = jnp.asarray(make_neg_cdf(vocab.counts, cfg.ns_exponent))
-        args = (jnp.asarray(comp), jnp.asarray(cum.astype(np.int32)), neg_cdf,
+        args = (jnp.asarray(comp), jnp.asarray(cum), neg_cdf,
                 jnp.asarray(keep_prob), jnp.float32(cfg.learning_rate))
         STEPS = 64
         key = jax.random.PRNGKey(0)

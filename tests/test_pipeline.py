@@ -77,10 +77,10 @@ def test_pipeline_produces_all_artifacts(pipeline_metrics):
 # algorithm changes — a real recall regression trips these long before it
 # trips the loose sanity bounds below.
 GOLDEN = {
-    "ceiling_clicks": 0.61972, "ceiling_carts": 0.50615,
-    "ceiling_orders": 0.71264, "ceiling_total": 0.64140,
-    "clicks": 0.46351, "carts": 0.37910, "orders": 0.65517,
-    "total": 0.55318,
+    "ceiling_clicks": 0.62484, "ceiling_carts": 0.48361,
+    "ceiling_orders": 0.69253, "ceiling_total": 0.62308,
+    "clicks": 0.46607, "carts": 0.37090, "orders": 0.63218,
+    "total": 0.53719,
 }
 
 

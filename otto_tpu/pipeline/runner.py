@@ -92,10 +92,44 @@ class Pipeline:
 
         enable_persistent_compilation_cache()
         # persist the config next to the artifacts it shapes, so inference-
-        # only runs (CLI rank) can reload the exact training configuration
+        # only runs (CLI rank) can reload the exact training configuration —
+        # and GUARD against resuming over a stale cache: artifacts written
+        # under a different config/n_aids are silently wrong (e.g. a vocab
+        # holding aid ids past the current n_aids), so a mismatch with
+        # use_cache=True fails fast here instead of deep inside a stage.
+        # work_dir and mesh are excluded: neither shapes artifact content
+        # (mesh-size invariance is tested at pipeline level).
         cpath = self._p("config.json")
-        if not os.path.exists(cpath):
+        cur = json.loads(json.dumps(dataclasses.asdict(self.cfg)))
+        for k in ("work_dir", "mesh"):
+            cur.pop(k, None)
+        if os.path.exists(cpath) and self.use_cache:
+            with open(cpath) as fh:
+                stored = json.load(fh)
+            for k in ("work_dir", "mesh"):
+                stored.pop(k, None)
+            if stored != cur:
+                diff = [k for k in cur if stored.get(k) != cur[k]]
+                raise ValueError(
+                    f"work dir {self.work_dir!r} holds artifacts for a "
+                    f"DIFFERENT config (mismatched sections: {diff}); use a "
+                    "fresh work dir or use_cache=False"
+                )
+        else:
             config_to_json(self.cfg, cpath)
+        mpath = self._p("meta.json")
+        if os.path.exists(mpath) and self.use_cache:
+            with open(mpath) as fh:
+                meta = json.load(fh)
+            if meta.get("n_aids") != self.n_aids:
+                raise ValueError(
+                    f"work dir {self.work_dir!r} holds artifacts for "
+                    f"n_aids={meta.get('n_aids')} (got {self.n_aids}); use "
+                    "a fresh work dir or use_cache=False"
+                )
+        else:
+            with open(mpath, "w") as fh:
+                json.dump({"n_aids": self.n_aids}, fh)
         # machine-readable stage log (stage, elapsed seconds since the
         # owning phase's t0, peak HBM) — the wall-clock record scale runs
         # persist next to their metrics (RUN_FULLSCALE.json)

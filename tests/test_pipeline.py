@@ -200,3 +200,22 @@ def test_pipeline_resume_from_cache(tiny_cfg, pipeline_metrics):
     # metrics identical because every model artifact is reloaded
     for k in ("clicks", "carts", "orders", "total"):
         assert abs(second[k] - first[k]) < 1e-9
+
+
+def test_stale_cache_guard(tiny_cfg, pipeline_metrics):
+    """A work dir holding artifacts for a different config or n_aids must
+    be rejected at Pipeline construction (a stale vocab/covis cache would
+    otherwise produce silently-wrong or crashing stages)."""
+    import dataclasses
+    from otto_tpu.pipeline.runner import Pipeline
+
+    work, _ = pipeline_metrics
+    with pytest.raises(ValueError, match="n_aids"):
+        Pipeline(cfg=tiny_cfg, work_dir=work, n_aids=999)
+    other = dataclasses.replace(
+        tiny_cfg, kmeans=dataclasses.replace(tiny_cfg.kmeans, max_iter=7)
+    )
+    with pytest.raises(ValueError, match="kmeans"):
+        Pipeline(cfg=other, work_dir=work, n_aids=1200)
+    # use_cache=False overwrites instead of rejecting
+    Pipeline(cfg=other, work_dir=work, n_aids=1200, use_cache=False)

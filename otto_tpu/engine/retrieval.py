@@ -558,7 +558,9 @@ def retrieve_batch(
         prio,
         [jnp.where(end2, ks2, -1), ts_order] + [red2[n] for n in names2],
     )
-    C = max_candidates
+    # a candidate cap beyond the union's padded lane width is a no-op (there
+    # can be no more candidates than lanes): clip instead of mis-slicing
+    C = min(max_candidates, pk.shape[1])
     slot_ok = pk[:, :C] != SENT
     cand = jnp.where(slot_ok, comp[0][:, :C], -1)
     valid = cand >= 0
@@ -739,7 +741,16 @@ def retrieve_batch(
     f["heur_score"] = jnp.where(valid, heur, 0.0).astype(jnp.float32)
 
     feats = jnp.stack([f[name] for name in FEATURE_NAMES], axis=2)
-    return cand, feats, jnp.clip(ts_order_c, 0, 999)
+    ts_out = jnp.clip(ts_order_c, 0, 999)
+    if C < max_candidates:
+        # keep the [S, max_candidates] output contract even when the cap
+        # exceeds this bucket's lane width (batches from different length
+        # buckets must concatenate)
+        pad = max_candidates - C
+        cand = jnp.pad(cand, ((0, 0), (0, pad)), constant_values=-1)
+        feats = jnp.pad(feats, ((0, 0), (0, pad), (0, 0)))
+        ts_out = jnp.pad(ts_out, ((0, 0), (0, pad)), constant_values=999)
+    return cand, feats, ts_out
 
 
 def _identity(red: str):

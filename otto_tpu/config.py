@@ -132,6 +132,15 @@ class RetrievalConfig:
     # bounds the work: a bucket-8 session costs ~7x less than a bucket-64
     # one (fan-out grid is A_k * 121 entries, A_k <= L). p99 of unique aids
     # per test session is ~38 (reference: model/w2vec_aids.py:228-229).
+    # Cap choice is MEASURED, not guessed (SWEEP_RETRIEVAL_CAPS.json, 30k
+    # heavy-tail synthetic sessions, mean_len 18 / max 512, TPU v5e):
+    # ceiling recall@20-topall moves 0.61229 -> 0.61314 (+0.0009) going
+    # (32, 512) -> (99, 2048) while feature-stage lane volume scales
+    # ~linearly in both caps. The reference keeps the last 99 events/type
+    # (config.py:76-79) and sees up to 2322 candidates (README.md:42-47);
+    # our dense union dedups aids first, so 32 kept aids ~= p97 of unique
+    # test-session aids and 512 slots hold every observed candidate set
+    # (sweep mean 223). Raise both for heavier-tailed data.
     max_session_aids: int = 32      # kept unique aids per session fed to sources
     max_candidates: int = 512       # padded candidate set per session
     session_len_buckets: Tuple[int, ...] = (8, 32, 128, 512)

@@ -25,7 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from otto_tpu.config import DEFAULT, setup_logging
 from otto_tpu.data.split import split_events
-from otto_tpu.data.synthetic import SyntheticSpec, generate
+from otto_tpu.data.synthetic import SyntheticSpec, generate, generate_device
 from otto_tpu.pipeline.runner import Pipeline
 
 log = logging.getLogger("fullscale")
@@ -71,7 +71,14 @@ def main() -> int:
     spec = SyntheticSpec(n_sessions=n_sessions, n_aids=n_aids,
                          mean_len=mean_len, max_len=max_len,
                          span_days=28, seed=7)
-    ev = generate(spec)
+    # device generation by default: the host NumPy walk costs ~20 min at
+    # this scale on the 2-core box, the on-chip lax.scan walk seconds
+    if os.environ.get("OTTO_FS_GEN", "device") == "device":
+        ev = generate_device(spec)
+        record["generator"] = "device"
+    else:
+        ev = generate(spec)
+        record["generator"] = "host"
     record["n_events"] = int(len(ev))
     record["stages"].append({"stage": "generate",
                              "elapsed_s": round(time.time() - t0, 1)})
@@ -92,19 +99,41 @@ def main() -> int:
 
     pipe = Pipeline(cfg=DEFAULT, work_dir=work_dir, n_aids=n_aids)
     t2 = time.time()
-    try:
-        metrics = pipe.run_streaming(sp.train, sp.test, sp.labels,
-                                     batch_sessions=batch)
-        record["metrics"] = metrics
-    finally:
+
+    n_fixed = len(record["stages"])  # generate + split rows stay in place
+
+    def snapshot_stages():
         # stage_log entries carry elapsed-since-phase-t0; convert to deltas
+        del record["stages"][n_fixed:]
         prev = 0.0
-        for e in pipe.stage_log:
+        for e in list(pipe.stage_log):
             d = dict(e)
             el = d["elapsed_s"]
             d["delta_s"] = round(el - prev if el >= prev else el, 1)
             prev = el if el >= prev else el
             record["stages"].append(d)
+        record["pipeline_s_so_far"] = round(time.time() - t2, 1)
+
+    # a multi-hour run must leave a usable record even if the process is
+    # killed mid-stage: poll the runner's stage log and flush every 30 s
+    import threading
+
+    stop = threading.Event()
+
+    def poller():
+        while not stop.wait(30.0):
+            snapshot_stages()
+            flush()
+
+    threading.Thread(target=poller, daemon=True).start()
+
+    try:
+        metrics = pipe.run_streaming(sp.train, sp.test, sp.labels,
+                                     batch_sessions=batch)
+        record["metrics"] = metrics
+    finally:
+        stop.set()
+        snapshot_stages()
         record["pipeline_s"] = round(time.time() - t2, 1)
         record["total_s"] = round(time.time() - t0, 1)
         flush()

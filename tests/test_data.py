@@ -25,6 +25,48 @@ def test_generate_schema():
     assert frac_clicks > 0.6
 
 
+def test_generate_device_matches_host_structure():
+    """The lax.scan device generator must reproduce the host generator's
+    learnable structure (not its exact RNG stream): schema, emission order,
+    length/type/popularity/revisit distributions. At reference scale the
+    host path costs ~20 min of the run; the device path is seconds."""
+    from otto_tpu.data.synthetic import generate_device
+
+    spec = SyntheticSpec(
+        n_sessions=2000, n_aids=1500, max_len=32, mean_len=10, seed=3
+    )
+    ev = generate_device(spec, chunk_sessions=768)  # >1 chunk on purpose
+    ref = generate(spec)
+    assert ev.session.dtype == np.int32 and ev.type.dtype == np.int8
+    # already (session, ts)-sorted — no host lexsort needed
+    order = np.lexsort((ev.ts, ev.session))
+    assert np.array_equal(order, np.arange(len(ev)))
+    assert ev.session.min() == 0 and ev.session.max() == spec.n_sessions - 1
+    lens = np.bincount(ev.session)
+    assert lens.min() >= 2 and lens.max() <= spec.max_len
+    assert abs(lens.mean() - np.bincount(ref.session).mean()) < 1.5
+    assert set(np.unique(ev.type)) <= {0, 1, 2}
+    for t in range(3):
+        assert abs(np.mean(ev.type == t) - np.mean(ref.type == t)) < 0.03
+    assert ev.aid.min() >= 0 and ev.aid.max() < spec.n_aids
+
+    def top100_mass(e):
+        c = np.bincount(e.aid, minlength=spec.n_aids)
+        return np.sort(c)[-100:].sum() / len(e)
+
+    assert abs(top100_mass(ev) - top100_mass(ref)) < 0.05
+
+    def revisit_rate(e):
+        seen, rep = set(), 0
+        for s, a in zip(e.session.tolist(), e.aid.tolist()):
+            if (s, a) in seen:
+                rep += 1
+            seen.add((s, a))
+        return rep / len(e.session)
+
+    assert abs(revisit_rate(ev) - revisit_rate(ref)) < 0.05
+
+
 def test_generate_has_sequential_structure():
     """Co-visitation must be informative: items co-occur within categories."""
     spec = SyntheticSpec(n_sessions=2000, n_aids=2000, seed=2)

@@ -294,17 +294,32 @@ _KK_BITS = 23  # k2 (untagged aid) < 2^23 >= 1.8M OTTO aid space
 
 
 class HostRunStore:
-    """Sorted tagged count runs in host RAM + global merge."""
+    """Sorted tagged count runs in host RAM + global merge.
 
-    def __init__(self):
-        self._runs: list = []          # (kk int64 sorted, count int32)
+    `merge_every_rows` bounds peak host RAM: once that many un-merged rows
+    accumulate, the store compacts itself via merged() (incremental —
+    groupby-sum shrinks duplicates away, and the stable argsort is timsort,
+    which exploits the already-sorted runs). Without this, a reference-scale
+    run (161M train events -> multi-billion raw spilled pairs) holds every
+    raw run until finalize and can exhaust even a 125 GB host (measured
+    2026-08-20: ~2 GB/min unbounded growth during counting)."""
+
+    def __init__(self, merge_every_rows: int = 256_000_000):
+        self._runs: list = []          # (kk int64 sorted, count int64)
         self.rows_spilled = 0
+        self.merge_every_rows = int(merge_every_rows)
+        self._pending_rows = 0
+        self.n_auto_merges = 0
 
     def add_run(self, k1: np.ndarray, k2: np.ndarray, count: np.ndarray) -> None:
         """Append one compacted run (sorted by (k1, k2), no sentinels)."""
         kk = (k1.astype(np.int64) << _KK_BITS) | k2.astype(np.int64)
         self._runs.append((kk, np.ascontiguousarray(count, np.int64)))
         self.rows_spilled += len(kk)
+        self._pending_rows += len(kk)
+        if self.merge_every_rows and self._pending_rows >= self.merge_every_rows:
+            self.merged()
+            self.n_auto_merges += 1
 
     def merged(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Global groupby-sum over all runs -> (k1, k2, count) sorted by
@@ -327,6 +342,7 @@ class HostRunStore:
             csum = np.add.reduceat(cnt, idx)
             kk = kk[idx]
             self._runs = [(kk, csum)]
+        self._pending_rows = 0
         return (
             (kk >> _KK_BITS).astype(np.int32),
             (kk & ((1 << _KK_BITS) - 1)).astype(np.int32),

@@ -51,8 +51,12 @@ def main() -> int:
     # real co-visitation tables from the data (density matters for gathers);
     # single bucket => one compiled counting program (remote compiles are
     # minutes each on a cold cache)
+    # spill=False: bench-scale counts fit the device bounded table, and the
+    # host-spill path's pulls + extra drain-time compiles cost ~160 s here
+    # (BENCH_r01 37.8s vs BENCH_r02 196.3s was exactly this default flip)
     counter = CoVisCounter(
-        CoVisConfig(), capacity=1 << 20, pair_budget=1 << 20, bucket_lens=(64,)
+        CoVisConfig(), capacity=1 << 20, pair_budget=1 << 20, bucket_lens=(64,),
+        spill=False,
     )
     counter.update(sp.train)
     tables = counter.retrieval_tables(n_aids)

@@ -105,6 +105,23 @@ class CoVisConfig:
     # pruning) — exact only while counts fit on device.
     host_spill: bool = True
 
+    # Spill-time in-part pruning: a fully-merged run about to spill drops
+    # pairs with count < min_count_in_part[type] — the reference applies the
+    # same threshold to its RAM-bounded partial aggregates and, for the two
+    # click_to_* tables past 100M rows, to the raw per-chunk concat
+    # (reference: model/count_co_events.py:131-133, 152-158; config.py:63).
+    # Only runs with at least this many occupied rows are pruned, mirroring
+    # the reference's "only when the table is big" trigger — small runs
+    # (tests, small datasets) stay lossless. 0 disables.
+    spill_prune_min_rows: int = 4_000_000
+
+    # Raw pair-emission lanes per microbatch (uniform ladder run size).
+    pair_budget: int = 1 << 22
+    # Largest ladder run, in rows: bounds device memory held by pending runs
+    # and sets the spill granularity (a top run covers
+    # max_run_rows/pair_budget microbatches' pairs).
+    max_run_rows: int = 1 << 26
+
     @property
     def names(self) -> List[str]:
         return list(self.count_types.keys())
@@ -281,6 +298,15 @@ class GBDTConfig:
     # is kept. 0 = off (the reference ships early_stopping commented out,
     # reference: config.py:225).
     early_stopping_rounds: int = 0
+    # Cap on training session groups fed to the device (seeded subsample
+    # when exceeded; 0 = no cap). Grouped-padded bins are
+    # groups * max_group * F bytes of HBM — reference-scale clicks
+    # (~1.5M positive sessions) would need ~20 GB; 2^18 groups (~12M real
+    # rows, the reference's carts-train magnitude) costs ~3.5 GB. LightGBM
+    # itself bags rows per tree at subsample=0.5 (reference: config.py:218).
+    max_train_groups: int = 1 << 18
+    # Valid groups kept for periodic ndcg (same padding cost argument).
+    max_valid_groups: int = 1 << 16
 
     # device-shape knobs (tune for HBM, not quality)
     row_chunk: int = 1 << 14         # rows per histogram matmul chunk

@@ -43,30 +43,35 @@ def split_events(events: Events, test_days: int = 7, seed: int = 42) -> Split:
     first_ts = ev.ts[starts]
 
     is_test_session = first_ts >= cutoff
-    test_sids = sess[is_test_session]
+    lens = ends - starts
 
     # ---- train: events before cutoff, excluding test sessions -------------
-    in_test = np.isin(ev.session, test_sids)
+    # per-session flags expand to event level via repeat (the table is
+    # session-sorted); an isin() over 2*10^8 events costs minutes, this ~1 s
+    in_test = np.repeat(is_test_session, lens)
     train_mask = (ev.ts < cutoff) & ~in_test
     train = ev.select(train_mask)
 
     # ---- test: cut each test session at a random index --------------------
     rng = np.random.default_rng(seed)
     t_starts = starts[is_test_session]
-    t_ends = ends[is_test_session]
-    t_lens = t_ends - t_starts
+    t_lens = lens[is_test_session]
     # sessions of length 1 can't be split; organizers drop them
     keep = t_lens >= 2
-    t_starts, t_ends, t_lens = t_starts[keep], t_ends[keep], t_lens[keep]
+    t_starts, t_lens = t_starts[keep], t_lens[keep]
     cut = t_starts + 1 + (rng.random(len(t_lens)) * (t_lens - 1)).astype(np.int64)
 
-    idx = np.arange(len(ev))
-    # visible part: [start, cut); label part: [cut, end)
-    vis_mask = np.zeros(len(ev), bool)
-    lab_mask = np.zeros(len(ev), bool)
-    for s, c, e in zip(t_starts, cut, t_ends):  # vectorize below if hot
-        vis_mask[s:c] = True
-        lab_mask[c:e] = True
+    # visible part: [start, cut); label part: [cut, end) — expand the
+    # per-session cut index to event level and compare against position
+    kept_sess = np.zeros(len(sess), bool)
+    kept_sess[np.flatnonzero(is_test_session)[keep]] = True
+    cut_all = np.zeros(len(sess), np.int64)
+    cut_all[kept_sess] = cut
+    kept_ev = np.repeat(kept_sess, lens)
+    cut_ev = np.repeat(cut_all, lens)
+    idx = np.arange(len(ev), dtype=np.int64)
+    vis_mask = kept_ev & (idx < cut_ev)
+    lab_mask = kept_ev & (idx >= cut_ev)
     test = ev.select(vis_mask)
 
     lab = ev.select(lab_mask)

@@ -171,6 +171,7 @@ class CountLadder:
         arity: int = 4,
         max_run_rows: int = 1 << 25,
         spill: bool = True,
+        prune_min_rows: int = 0,
     ):
         self.run_size = run_size
         self.arity = arity
@@ -184,14 +185,30 @@ class CountLadder:
             [] for _ in range(levels)
         ]
         self.spill = spill
+        self.prune_min_rows = prune_min_rows
+        self.rows_pruned = 0
         self._store = counts_ops.HostRunStore() if spill else None
         self._top: CountTable = counts_ops.empty_table(top_capacity)
 
     # --- device->host spill -------------------------------------------------
     def _spill_run(self, run: CountTable, compacted: bool) -> None:
-        """Pull one fully-merged run to the host store (sorted, compacted)."""
+        """Pull one fully-merged run to the host store (sorted, compacted).
+
+        Runs at or past `prune_min_rows` occupancy first drop pairs below
+        their type's in-part min count ON DEVICE (counts_ops.prune_tagged)
+        — reference in-part pruning semantics, and the lever that keeps the
+        spilled volume (device->host at ~30 MB/s on the tunneled runtime)
+        proportional to the recurring-pair mass, not the singleton tail."""
         if not compacted:  # raw unit-count run: compact on device first
             run = counts_ops.merge_runs_compact_raw((run,))
+        if (
+            self.prune_min_rows
+            and any(m > 1 for m in self._min_in_part)
+            and int(run.n) >= self.prune_min_rows
+        ):
+            before = int(run.n)
+            run = counts_ops.prune_tagged(run, self._min_in_part, self.stride)
+            self.rows_pruned += before - int(run.n)
         run = self._squeeze(run)
         n = int(run.n)
         if n == 0:
@@ -206,6 +223,10 @@ class CountLadder:
         k2 = fast_pull(run.aid_next)[:n]
         c = fast_pull(run.count)[:n]
         self._store.add_run(k1, k2, c)
+        log.info(
+            "covis spill: +%.1fM rows (total %.1fM spilled, %.1fM pruned)",
+            n / 1e6, self._store.rows_spilled / 1e6, self.rows_pruned / 1e6,
+        )
 
     def push(self, run: CountTable) -> None:
         """Add one raw (unsorted, unit-count) run of size run_size."""
@@ -311,7 +332,7 @@ class CoVisCounter:
         self,
         cfg: CoVisConfig,
         capacity: Optional[int] = None,
-        pair_budget: int = 1 << 21,
+        pair_budget: Optional[int] = None,
         # True: fully-merged top-level runs spill LOSSLESSLY to host RAM and
         # the global merge happens there (reference-capacity semantics: the
         # 300M-pair matrices cannot live in 16 GB HBM; the reference is
@@ -331,7 +352,7 @@ class CoVisCounter:
             8, 16, 24, 32, 48, 64, 96, 128, 192, 256, 512
         ),
         arity: int = 4,
-        max_run_rows: int = 1 << 25,
+        max_run_rows: Optional[int] = None,
     ):
         self.cfg = cfg
         self.plan = pairs_ops.make_plan(cfg)
@@ -343,6 +364,8 @@ class CoVisCounter:
         self.n_types = len(cfg.names)
         self.per_type_capacity = capacity or cfg.accumulator_capacity
         self.capacity = self.per_type_capacity * self.n_types
+        pair_budget = pair_budget or getattr(cfg, "pair_budget", 1 << 22)
+        max_run_rows = max_run_rows or getattr(cfg, "max_run_rows", 1 << 26)
         self.pair_budget = pair_budget
         self.bucket_lens = tuple(bucket_lens)
         self.arity = arity
@@ -366,6 +389,7 @@ class CoVisCounter:
             arity=arity,
             max_run_rows=max_run_rows,
             spill=self.spill,
+            prune_min_rows=getattr(cfg, "spill_prune_min_rows", 0),
         )
 
     @property
@@ -391,6 +415,11 @@ class CoVisCounter:
         for filled in pack_sessions_filled(ev, self.bucket_lens):
             L = filled.max_len
             s_batch = pairs_ops.pair_budget_sessions(L, self.pair_budget)
+            n_mb = -(-filled.n_rows // s_batch)
+            log.info(
+                "covis bucket L=%d: %d rows, %d microbatches (%.0fM lanes)",
+                L, filled.n_rows, n_mb, filled.n_rows * L * L / 1e6,
+            )
             for mb in iter_filled_microbatches(filled, s_batch):
                 run = _emit_run_step(
                     self.plan,

@@ -74,7 +74,9 @@ def compute_session_embeddings(
             )
             keep = mb.session >= 0
             sids.append(mb.session[keep])
-            embs.append(np.asarray(e)[keep])
+            from otto_tpu.utils.transfer import fast_pull
+
+            embs.append(fast_pull(e)[keep])
     session = np.concatenate(sids)
     emb = np.concatenate(embs)
     order = np.argsort(session)

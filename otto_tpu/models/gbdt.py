@@ -58,6 +58,7 @@ def compute_bin_edges(
     if n > sample:
         idx = np.random.default_rng(seed).choice(n, sample, replace=False)
         feats = feats[idx]
+    feats = feats.astype(np.float32, copy=False)  # f16 masters quantile fine
     qs = np.linspace(0.0, 1.0, n_bins + 1)[1:-1]
     edges = np.quantile(feats, qs, axis=0).T.astype(np.float32)  # [F, B-1]
     out = np.full_like(edges, np.inf)
@@ -608,6 +609,27 @@ def train_gbdt_ranker(
     import logging
 
     log = logging.getLogger(__name__)
+
+    def _cap_groups(f, y, s, cap, tag):
+        u = np.unique(s)
+        if not cap or len(u) <= cap:
+            return f, y, s
+        keep_s = np.random.default_rng(cfg.seed).choice(u, cap, replace=False)
+        m = np.isin(s, keep_s)
+        log.info(
+            "gbdt %s: capping %d groups (%d rows) to %d groups (%d rows)",
+            tag, len(u), len(s), cap, int(m.sum()),
+        )
+        return f[m], y[m], s[m]
+
+    feats, labels, group_sessions = _cap_groups(
+        feats, labels, group_sessions,
+        int(getattr(cfg, "max_train_groups", 0) or 0), "train",
+    )
+    if valid is not None:
+        valid = _cap_groups(
+            *valid, int(getattr(cfg, "max_valid_groups", 0) or 0), "valid"
+        )
     edges = compute_bin_edges(feats, cfg.n_bins, seed=cfg.seed)
     # bin on host and ship uint8: the tunneled host->device link is the
     # bottleneck of the whole training path (measured 491 MB of padded f32

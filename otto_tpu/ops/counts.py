@@ -214,6 +214,25 @@ def merge_bounded_tagged(
     return CountTable(a, b, c, n)
 
 
+@partial(jax.jit, static_argnums=(1, 2))
+def prune_tagged(
+    table: CountTable, min_count_in_part: Tuple[int, ...], stride: int
+) -> CountTable:
+    """Drop rows below their type's in-part min count and re-compact (front-
+    packed, key order). Applied to fully-merged runs about to spill — the
+    reference prunes its RAM-bounded partial aggregates with the same
+    per-type thresholds (reference: model/count_co_events.py:131-133,
+    152-158; config.py:63 MIN_COUNT_IN_PART)."""
+    tag = jnp.where(table.aid == SENTINEL, 0, table.aid // stride)
+    minc = _select_by_tag(tag, min_count_in_part)
+    keep = (table.aid != SENTINEL) & (table.count >= minc)
+    a = jnp.where(keep, table.aid, SENTINEL)
+    b = jnp.where(keep, table.aid_next, SENTINEL)
+    c = jnp.where(keep, table.count, 0)
+    a, b, c = lax.sort((a, b, c), num_keys=2)
+    return CountTable(a, b, c, jnp.sum(keep).astype(jnp.int32))
+
+
 @partial(jax.jit, static_argnums=(2, 3))
 def extract_tag(table: CountTable, tag: jnp.ndarray, stride: int,
                 capacity: int) -> CountTable:
@@ -318,23 +337,21 @@ class HostRunStore:
         self.rows_spilled += len(kk)
         self._pending_rows += len(kk)
         if self.merge_every_rows and self._pending_rows >= self.merge_every_rows:
-            self.merged()
+            self._compact()
             self.n_auto_merges += 1
 
-    def merged(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """Global groupby-sum over all runs -> (k1, k2, count) sorted by
-        (k1, k2). The merged result replaces the stored runs, so further
-        add_run + merged cycles stay incremental (drain-resume counting)."""
-        if not self._runs:
-            z = np.zeros(0, np.int64)
-            return z.astype(np.int32), z.astype(np.int32), z.astype(np.int32)
-        if len(self._runs) == 1:
-            kk, csum = self._runs[0]
-        else:
+    def _compact(self) -> None:
+        """Groupby-sum all stored runs into one sorted run IN PLACE. Unlike
+        merged(), no result arrays are built — auto-merges at the default
+        256M-row threshold would otherwise allocate and discard multiple GB
+        of int32 copies per trigger on an already RAM-pressured host."""
+        if len(self._runs) > 1:
             kk = np.concatenate([r[0] for r in self._runs])
             cnt = np.concatenate([r[1] for r in self._runs])
+            self._runs.clear()  # drop per-run refs before the sort copies
             order = np.argsort(kk, kind="stable")  # timsort: exploits runs
             kk, cnt = kk[order], cnt[order]
+            del order
             first = np.empty(len(kk), bool)
             first[0] = True
             np.not_equal(kk[1:], kk[:-1], out=first[1:])
@@ -343,6 +360,16 @@ class HostRunStore:
             kk = kk[idx]
             self._runs = [(kk, csum)]
         self._pending_rows = 0
+
+    def merged(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Global groupby-sum over all runs -> (k1, k2, count) sorted by
+        (k1, k2). The merged result replaces the stored runs, so further
+        add_run + merged cycles stay incremental (drain-resume counting)."""
+        if not self._runs:
+            z = np.zeros(0, np.int64)
+            return z.astype(np.int32), z.astype(np.int32), z.astype(np.int32)
+        self._compact()
+        kk, csum = self._runs[0]
         return (
             (kk >> _KK_BITS).astype(np.int32),
             (kk & ((1 << _KK_BITS) - 1)).astype(np.int32),

@@ -248,6 +248,13 @@ class Pipeline:
                 si_all = np.concatenate([s[0] for s in sels.values()])
                 ci_all = np.concatenate([s[1] for s in sels.values()])
                 feats_all = b.feats_rows(si_all, ci_all)
+                # accumulate f16: the C15 artifact persists f16 anyway and
+                # the full-scale clicks target (~70M rows x 104) would hold
+                # ~29 GB as f32 on the host. Clip first: values past the f16
+                # range share the top quantile bin, inf would poison binning.
+                feats_all = np.clip(
+                    feats_all, -65504.0, 65504.0
+                ).astype(np.float16)
                 off = 0
                 for tname, (si, ci, y) in sels.items():
                     n = len(si)
@@ -292,11 +299,9 @@ class Pipeline:
                 # stage artifact, reference: model/downsample_retrieved.py:
                 # 61-62 per-target dirs) — ranker iteration then skips the
                 # retrieval pass (scripts/exp_gbdt_rows.py)
-                # clip raw count columns into f16 range: values past 65504
-                # share the top quantile bin anyway, inf would poison binning
                 np.savez(
                     self._p(f"downsampled-{tname}.npz"),
-                    feats=np.clip(feats, -65504.0, 65504.0).astype(np.float16),
+                    feats=feats,  # already clipped f16 at accumulation
                     y=y.astype(np.int8),
                     session=sess,
                 )
@@ -647,7 +652,8 @@ class Pipeline:
             )
         else:
             ranker = train_ranker(
-                feats, y, sess, FEATURE_NAMES, cfg.ranker, valid=valid_set
+                feats.astype(np.float32, copy=False), y, sess, FEATURE_NAMES,
+                cfg.ranker, valid=valid_set,
             )
         ranker.save(rpath)
         if backend == "gbdt":

@@ -64,8 +64,11 @@ def main() -> int:
     }
 
     def flush():
-        with open(out_path, "w") as fh:
+        # atomic: a kill mid-write must not leave truncated JSON
+        tmp = out_path + ".tmp"
+        with open(tmp, "w") as fh:
             json.dump(record, fh, indent=2)
+        os.replace(tmp, out_path)
 
     t0 = time.time()
     spec = SyntheticSpec(n_sessions=n_sessions, n_aids=n_aids,
@@ -125,7 +128,8 @@ def main() -> int:
             snapshot_stages()
             flush()
 
-    threading.Thread(target=poller, daemon=True).start()
+    poll_thread = threading.Thread(target=poller, daemon=True)
+    poll_thread.start()
 
     try:
         metrics = pipe.run_streaming(sp.train, sp.test, sp.labels,
@@ -133,6 +137,7 @@ def main() -> int:
         record["metrics"] = metrics
     finally:
         stop.set()
+        poll_thread.join()  # an in-flight poll must not race the final flush
         snapshot_stages()
         record["pipeline_s"] = round(time.time() - t2, 1)
         record["total_s"] = round(time.time() - t0, 1)

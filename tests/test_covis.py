@@ -232,14 +232,6 @@ def test_host_run_store_auto_merge_is_exact():
         np.testing.assert_array_equal(x, y)
     assert plain.rows_spilled == compacting.rows_spilled
 
-    # the device bounded-table path at this capacity CANNOT hold the counts
-    # (documents exactly the divergence the spill mode removes)
-    bounded = CoVisCounter(cfg, capacity=capacity, pair_budget=1 << 12,
-                           bucket_lens=(8, 32), spill=False)
-    bounded.update(ev)
-    got_b = table_to_dict(bounded.tables["click_to_click"])
-    assert len(got_b) <= capacity < n_uniq
-
 
 def test_host_topn_tables_match_device():
     """host_topn_tables (spill-mode retrieval-table builder) must reproduce
@@ -304,3 +296,64 @@ def test_merge_runs_compact_raw_matches_general():
     np.testing.assert_array_equal(
         np.asarray(ref.aid_next), np.asarray(raw.aid_next))
     np.testing.assert_array_equal(np.asarray(ref.count), np.asarray(raw.count))
+
+
+def test_prune_tagged_drops_below_in_part_min():
+    """Spill-time in-part pruning (reference MIN_COUNT_IN_PART semantics,
+    reference: model/count_co_events.py:131-133, config.py:63): rows below
+    their type's threshold drop; other tags keep everything; result stays
+    front-compacted in key order."""
+    stride = 1000
+    # tag 0 threshold 2, tag 1 threshold 1 (keep all)
+    aid = np.array([0 * stride + 3, 0 * stride + 7, 1 * stride + 2,
+                    1 * stride + 9, SENT], np.int32)
+    aid_next = np.array([5, 6, 7, 8, SENT], np.int32)
+    count = np.array([1, 4, 1, 2, 0], np.int32)
+    t = counts_ops.CountTable(
+        jnp.asarray(aid), jnp.asarray(aid_next), jnp.asarray(count),
+        jnp.int32(4),
+    )
+    got = counts_ops.prune_tagged(t, (2, 1), stride)
+    assert int(got.n) == 3
+    d = table_to_dict(got)
+    assert d == {(7, 6): 4, (1 * stride + 2, 7): 1, (1 * stride + 9, 8): 2}
+    # key order, sentinels at the back
+    a = np.asarray(got.aid)
+    assert a[3] == SENT and a[4] == SENT
+    assert np.all(np.diff(a[:3]) > 0)
+
+
+def test_spill_prune_matches_reference_in_part_semantics():
+    """End-to-end: a spill counter with pruning enabled must equal the
+    lossless counter AFTER the per-type in-part filter is applied to each
+    spilled window — here a single window covers everything, so pruned
+    == {pairs with count >= min_in_part[type]} exactly."""
+    ev = make_events(250, seed=11)
+    cfg = CoVisConfig()
+    lossless = CoVisCounter(cfg, capacity=1 << 15, pair_budget=1 << 14,
+                            bucket_lens=(8, 32), spill=True)
+    lossless.update(ev)
+    # prune threshold 1 row => every spilled run is pruned
+    import dataclasses as _dc
+    cfg_p = _dc.replace(cfg, spill_prune_min_rows=1)
+    pruned = CoVisCounter(cfg_p, capacity=1 << 15, pair_budget=1 << 14,
+                          bucket_lens=(8, 32), spill=True)
+    pruned.update(ev)
+    # same (single-window) spill granularity: drain both fully first
+    t_l = {n: table_to_dict(t) for n, t in lossless.tables.items()}
+    t_p = {n: table_to_dict(t) for n, t in pruned.tables.items()}
+    assert pruned._ladder.rows_pruned > 0
+    minp = {n: max(1, cfg.min_count_in_part.get(n, 1)) for n in cfg.names}
+    for name in cfg.names:
+        if minp[name] == 1:
+            # types without an in-part threshold must be untouched
+            assert t_p[name] == t_l[name]
+            continue
+        # pruned counts can only shrink (window sub-counts were dropped),
+        # and a pruned pair's lost mass is < threshold per spilled window
+        for k, v in t_p[name].items():
+            assert t_l[name][k] >= v
+        # heavy pairs always survive: at count >= 64 over the handful of
+        # spilled windows here, some window holds >= the threshold (2)
+        heavy = {k for k, v in t_l[name].items() if v >= 64}
+        assert heavy <= set(t_p[name])

@@ -232,6 +232,11 @@ class CountLadder:
         """Add one raw (unsorted, unit-count) run of size run_size."""
         self._push(0, run)
 
+    def push_compacted(self, run: CountTable) -> None:
+        """Add one already sort-compressed (front-compacted, aggregated-
+        count) run — e.g. a shard-local combine's output."""
+        self._push(0, run, compacted=True)
+
     def _push(self, level: int, run: CountTable, compacted: bool = False) -> None:
         """compacted=True marks merged (front-compacted) runs that still
         need the occupancy squeeze; raw level-0 runs are already size P."""

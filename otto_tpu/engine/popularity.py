@@ -54,8 +54,7 @@ class PopularityTables(NamedTuple):
     aid_rank: np.ndarray
 
 
-@partial(jax.jit, static_argnums=(5,))
-def _pop_emit(cluster, aid, type_, ts, ts_7d, n_clusters: int) -> CountTable:
+def _pop_emit_impl(cluster, aid, type_, ts, ts_7d, n_clusters: int) -> CountTable:
     """One microbatch -> raw tagged count run (2 lanes/event: all-time kind
     and, when ts > ts_7d, the recent kind). Padded lanes carry aid == -1."""
     valid = aid >= 0
@@ -72,6 +71,45 @@ def _pop_emit(cluster, aid, type_, ts, ts_7d, n_clusters: int) -> CountTable:
     cnt = jnp.concatenate([valid, recent]).astype(jnp.int32)
     n = (jnp.sum(valid) + jnp.sum(recent)).astype(jnp.int32)
     return CountTable(k1, k2, cnt, n)
+
+
+_pop_emit = partial(jax.jit, static_argnums=(5,))(_pop_emit_impl)
+
+
+def make_sharded_pop_emit(mesh_ctx, n_clusters: int):
+    """Sharded popularity counting step: events shard over the data axis;
+    each device emits its tagged lanes and LOCALLY sort-compresses them
+    (map-side combine). Output: per-shard compacted runs stacked on a
+    leading shard axis — the host driver pushes each as a compacted ladder
+    run, so the existing merge machinery gives bit-identical global counts
+    for any mesh size (the SPMD form of the reference's chunked count +
+    merge, model/count_popularity.py:56-70 via count_co_events-style
+    aggregation)."""
+    import jax.experimental  # noqa: F401  (shard_map import path)
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from otto_tpu.ops import segment as _seg
+
+    axis = mesh_ctx.data_axis
+
+    def per_shard(cluster, aid, type_, ts, ts_7d):
+        t = _pop_emit_impl(cluster, aid, type_, ts, ts_7d, n_clusters)
+        ua, ub, uc, nu = _seg.sort_compress(t.aid, t.aid_next, t.count)
+        return CountTable(
+            ua[None], ub[None], uc[None], nu.reshape(1)
+        )
+
+    out_specs = CountTable(
+        aid=P(axis, None), aid_next=P(axis, None),
+        count=P(axis, None), n=P(axis),
+    )
+    fn = shard_map(
+        per_shard, mesh=mesh_ctx.mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P()),
+        out_specs=out_specs, check_vma=False,
+    )
+    return jax.jit(fn)
 
 
 def _segment_starts(sorted_keys: np.ndarray) -> np.ndarray:
@@ -145,20 +183,30 @@ def compute_popularity(
     cfg: PopularityConfig,
     top_slots: int = 128,
     event_budget: int = 1 << 22,
+    mesh_ctx=None,
 ) -> PopularityTables:
     """Host driver. `session_cluster` is per-EVENT cluster assignment
-    (gather cluster-of-session on host before the call)."""
+    (gather cluster-of-session on host before the call). With `mesh_ctx`,
+    events shard over the data axis and each device locally combines its
+    lanes before the global ladder merge (make_sharded_pop_emit)."""
     from otto_tpu.engine.covis import CountLadder
 
     n = len(events.aid)
     ts_max = int(events.ts.max()) if n else 0
     ts_7d = ts_max - cfg.recent_window
 
+    n_dev = 1
+    emit_sharded = None
+    if mesh_ctx is not None and mesh_ctx.n_devices > 1:
+        n_dev = mesh_ctx.mesh.shape[mesh_ctx.data_axis]
+        emit_sharded = make_sharded_pop_emit(mesh_ctx, n_clusters)
+
     # fixed microbatch of P events (pad tail with aid == -1): one compiled
     # emit program per (P, n_clusters) for the whole run
     P = min(event_budget, max(8, 1 << (n - 1).bit_length()) if n else 8)
+    P = -(-P // n_dev) * n_dev
     ladder = CountLadder(
-        run_size=2 * P,
+        run_size=2 * P // n_dev,
         top_capacity=8,
         min_in_part=(1,) * N_COUNTS,
         stride=n_clusters,
@@ -173,15 +221,22 @@ def compute_popularity(
             x = np.asarray(x[lo:hi], np.int32)
             return np.pad(x, (0, pad), constant_values=fill) if pad else x
 
-        run = _pop_emit(
+        args = (
             jnp.asarray(_p(cl, 0)),
             jnp.asarray(_p(events.aid, -1)),
             jnp.asarray(_p(events.type, 0)),
             jnp.asarray(_p(events.ts, 0)),
             jnp.int32(ts_7d),
-            n_clusters,
         )
-        ladder.push(run)
+        if emit_sharded is not None:
+            stacked = emit_sharded(*args)
+            for i in range(n_dev):
+                ladder.push_compacted(CountTable(
+                    stacked.aid[i], stacked.aid_next[i],
+                    stacked.count[i], stacked.n[i],
+                ))
+        else:
+            ladder.push(_pop_emit(*args, n_clusters))
     k1, k2, cnt = ladder.host_merged()
     return _host_pop_tables(
         k1, k2, cnt, n_clusters, n_aids, top_slots,

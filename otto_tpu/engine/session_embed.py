@@ -51,7 +51,8 @@ def session_embedding_batch(
 
 
 def compute_session_embeddings(
-    padded_batches, emb_table: np.ndarray, lane_budget: int = 1 << 19
+    padded_batches, emb_table: np.ndarray, lane_budget: int = 1 << 19,
+    mesh_ctx=None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Host driver over bucketed batches -> (session_ids [N], emb [N, D]).
 
@@ -59,16 +60,34 @@ def compute_session_embeddings(
     the gathered [S, L, D] vector grid is ~512 B/lane at D=128, so a whole
     10M-session bucket in one dispatch would materialize tens of GB
     (reference-scale OOM); fixed power-of-two microbatch shapes also keep
-    the compiled-program set at one per bucket length."""
+    the compiled-program set at one per bucket length.
+
+    With `mesh_ctx`, microbatch rows are sharded over the data axis and the
+    embedding table is replicated — pure data parallelism, the SPMD form of
+    the reference's per-chunk weighted-mean join
+    (reference: model/kmeans_sessions.py:40-86)."""
     from otto_tpu.data.batching import iter_microbatches
 
     table = jnp.asarray(emb_table)
+    emb_fn = session_embedding_batch
+    n_dev = 1
+    if mesh_ctx is not None and mesh_ctx.n_devices > 1:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_dev = mesh_ctx.mesh.shape[mesh_ctx.data_axis]
+        sh = NamedSharding(mesh_ctx.mesh, P(mesh_ctx.data_axis))
+        repl = NamedSharding(mesh_ctx.mesh, P())
+        emb_fn = jax.jit(
+            session_embedding_batch,
+            in_shardings=(sh, sh, sh, repl), out_shardings=sh,
+        )
     sids, embs = [], []
     for p in padded_batches:
         L = p.aid.shape[1]
         rows = max(8, 1 << (max(1, lane_budget // L).bit_length() - 1))
+        rows = -(-rows // n_dev) * n_dev  # shard rows evenly
         for mb in iter_microbatches(p, min(rows, 1 << 20)):
-            e = session_embedding_batch(
+            e = emb_fn(
                 jnp.asarray(mb.aid), jnp.asarray(mb.ts), jnp.asarray(mb.type),
                 table,
             )
@@ -92,16 +111,18 @@ class KnnTables(NamedTuple):
 
 
 def build_knn_tables(
-    model: Word2Vec, n_aids: int, k: int | None = None, first_n: int | None = None
+    model: Word2Vec, n_aids: int, k: int | None = None,
+    first_n: int | None = None, mesh_ctx=None,
 ) -> KnnTables:
     """Search neighbours for the `first_n` most frequent words
-    (reference: model/w2vec_aids.py:203 words[:first_n_aids])."""
+    (reference: model/w2vec_aids.py:203 words[:first_n_aids]). With
+    `mesh_ctx`, queries shard over the data axis (ops/knn.py)."""
     cfg = model.cfg
     k = k or cfg.knn_k
     first_n = min(first_n or cfg.knn_first_n_aids, model.vocab.size)
     emb = model.emb.astype(np.float32)
     queries = emb[:first_n]
-    scores, idx = knn_search(queries, emb, k, metric="l2")
+    scores, idx = knn_search(queries, emb, k, metric="l2", mesh_ctx=mesh_ctx)
     nbr_aid = model.vocab.aid_of_word[idx]          # word idx -> aid
     nbr_aid = np.where(idx >= 0, nbr_aid, -1)
     dist = -scores  # score was negated squared L2

@@ -18,8 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4))
-def topk_neighbors(
+def _topk_neighbors_impl(
     queries: jnp.ndarray,   # [Q, D]
     corpus: jnp.ndarray,    # [V, D]
     k: int,
@@ -81,6 +80,28 @@ def topk_neighbors(
     return scores, idx
 
 
+topk_neighbors = partial(jax.jit, static_argnums=(2, 3, 4))(
+    _topk_neighbors_impl
+)
+
+
+def make_sharded_topk(mesh_ctx, k: int, metric: str = "l2", tile: int = 8192):
+    """Query-sharded exact top-k: queries row-sharded over the data axis,
+    corpus replicated (1.8M x 100 f32 = 720 MB/device — fits every chip).
+    Each device searches its query rows independently; no collectives.
+    This is the SPMD form of the reference's batched faiss query loop
+    (reference: model/w2vec_aids.py:125-173)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sh = NamedSharding(mesh_ctx.mesh, P(mesh_ctx.data_axis))
+    repl = NamedSharding(mesh_ctx.mesh, P())
+
+    def run(q, c):
+        return _topk_neighbors_impl(q, c, k, metric, tile)
+
+    return jax.jit(run, in_shardings=(sh, repl), out_shardings=(sh, sh))
+
+
 def _default_backend() -> str:
     try:
         return "pallas" if jax.devices()[0].platform != "cpu" else "xla"
@@ -96,26 +117,36 @@ def knn_search(
     query_block: int = 16384,
     tile: int = 8192,
     backend: str = "auto",
+    mesh_ctx=None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Host driver: stream query blocks through the device kernel.
 
     backend 'pallas' uses the fused VMEM-resident kernel
     (otto_tpu.ops.pallas.mips, ~3.4x the XLA scan path on v5e); 'xla' the
     lax.scan + top_k merge; 'auto' picks pallas on accelerators.
+    With `mesh_ctx`, query blocks are row-sharded over the data axis and
+    each device searches the replicated corpus independently.
     """
     if backend == "auto":
         backend = _default_backend()
     Q = queries.shape[0]
     tile = min(tile, max(128, 1 << int(np.ceil(np.log2(max(corpus.shape[0], 1))))))
+    sharded_fn = None
+    if mesh_ctx is not None and mesh_ctx.n_devices > 1:
+        n_dev = mesh_ctx.mesh.shape[mesh_ctx.data_axis]
+        query_block = -(-query_block // n_dev) * n_dev
+        sharded_fn = make_sharded_topk(mesh_ctx, k, metric, tile)
     out_s = np.empty((Q, k), np.float32)
     out_i = np.empty((Q, k), np.int32)
     corpus_d = jnp.asarray(corpus)
     for i in range(0, Q, query_block):
         qb = np.asarray(queries[i : i + query_block], np.float32)
         nb = len(qb)
-        if nb < query_block and Q > query_block:
+        if nb < query_block and (Q > query_block or sharded_fn is not None):
             qb = np.pad(qb, ((0, query_block - nb), (0, 0)))
-        if backend == "pallas":
+        if sharded_fn is not None:
+            s, ix = sharded_fn(jnp.asarray(qb), corpus_d)
+        elif backend == "pallas":
             from otto_tpu.ops.pallas.mips import mips_topk_pallas
 
             s, ix = mips_topk_pallas(jnp.asarray(qb), corpus_d, k, metric)

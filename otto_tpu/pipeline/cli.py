@@ -26,6 +26,68 @@ log = logging.getLogger(__name__)
 def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--work-dir", default="artifacts", help="artifact directory")
     p.add_argument("--no-cache", action="store_true", help="recompute all stages")
+    p.add_argument(
+        "--mesh", default=None, metavar="data=N,model=M",
+        help="device mesh: run every stage sharded over an NxM (data, "
+             "model) mesh (e.g. data=8 or data=4,model=2; data=-1 means "
+             "'all remaining devices'). Initializes jax.distributed when "
+             "JAX_COORDINATOR_ADDRESS etc. are set (multi-host).",
+    )
+
+
+def parse_mesh_spec(spec: "str | None") -> "dict | None":
+    """'data=N,model=M' -> {'data_parallel': N, 'model_parallel': M}.
+    Either axis may be omitted (model defaults to 1, data to -1 = rest)."""
+    if not spec:
+        return None
+    out = {"data_parallel": -1, "model_parallel": 1}
+    for part in spec.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        if "=" not in part:
+            raise ValueError(f"bad --mesh component {part!r}; want axis=N")
+        k, v = part.split("=", 1)
+        k = k.strip()
+        if k not in ("data", "model"):
+            raise ValueError(f"unknown mesh axis {k!r} (want data/model)")
+        out[f"{k}_parallel"] = int(v)
+    return out
+
+
+def build_mesh(args):
+    """--mesh -> MeshContext (None when unset or trivially 1x1): bootstrap
+    jax.distributed (multi-host env) then lay the (data, model) mesh over
+    all global devices — the operator surface the reference exposes via
+    set_up_dask_client (reference: dask_utils.py:9-32)."""
+    kw = parse_mesh_spec(getattr(args, "mesh", None))
+    if kw is None:
+        return None
+    from otto_tpu.parallel.distributed import init_distributed
+    from otto_tpu.parallel.mesh import make_mesh
+
+    init_distributed()
+    import jax
+
+    devices = jax.devices()
+    d, m = kw["data_parallel"], kw["model_parallel"]
+    if d != -1 and d * m > len(devices):
+        raise SystemExit(
+            f"--mesh wants {d}x{m} devices but only {len(devices)} are "
+            "visible. For a virtual CPU mesh set JAX_PLATFORMS=cpu and "
+            "XLA_FLAGS=--xla_force_host_platform_device_count=N."
+        )
+    if d != -1 and d * m < len(devices):
+        devices = devices[: d * m]  # an explicit sub-mesh is allowed
+    ctx = make_mesh(devices, **kw)
+    if ctx.n_devices == 1:
+        log.info("--mesh resolved to a single device; running unsharded")
+        return None
+    log.info(
+        "mesh: %d devices (data=%d, model=%d)",
+        ctx.n_devices, ctx.n_data, ctx.n_model,
+    )
+    return ctx
 
 
 def cmd_synth(args) -> int:
@@ -76,7 +138,7 @@ def cmd_run(args) -> int:
     n_aids = int(max(train.aid.max(), test.aid.max())) + 1
     pipe = Pipeline(
         cfg=DEFAULT, work_dir=args.work_dir, n_aids=n_aids,
-        use_cache=not args.no_cache,
+        use_cache=not args.no_cache, mesh=build_mesh(args),
     )
     streaming = args.streaming or (
         not args.no_streaming and len(np.unique(test.session)) > 50_000
@@ -103,7 +165,7 @@ def cmd_rank(args) -> int:
     cfg = config_from_json(cpath) if os.path.exists(cpath) else DEFAULT
     pipe = Pipeline(
         cfg=cfg, work_dir=args.work_dir, n_aids=n_aids,
-        use_cache=not args.no_cache,
+        use_cache=not args.no_cache, mesh=build_mesh(args),
     )
     streaming = args.streaming or (
         not args.no_streaming and len(np.unique(test.session)) > 50_000
@@ -158,7 +220,7 @@ def cmd_run_synthetic(args) -> int:
     streaming = True if args.streaming else (None if not args.no_streaming else False)
     metrics = run_synthetic(
         cfg, args.work_dir, spec, batch_sessions=args.batch_sessions,
-        streaming=streaming,
+        streaming=streaming, mesh=build_mesh(args),
     )
     print(json.dumps(metrics, indent=2))
     return 0

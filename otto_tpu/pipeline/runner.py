@@ -411,7 +411,9 @@ class Pipeline:
                 z = np.load(kpath)
                 knns[name] = (z["neighbor"], z["dist"])
             else:
-                kt = build_knn_tables(models[name], self.n_aids)
+                kt = build_knn_tables(
+                    models[name], self.n_aids, mesh_ctx=self.mesh
+                )
                 np.savez_compressed(kpath, neighbor=kt.neighbor, dist=kt.dist)
                 knns[name] = (kt.neighbor, kt.dist)
             self._log(f"w2vec {name}", t0)
@@ -440,7 +442,7 @@ class Pipeline:
             sess_ids, sess_emb = z["session"], z["emb"]
         else:
             sess_ids, sess_emb = compute_session_embeddings(
-                pack_sessions(full), aid_emb
+                pack_sessions(full), aid_emb, mesh_ctx=self.mesh
             )
             np.savez_compressed(
                 self._p("session_emb.npz"), session=sess_ids, emb=sess_emb
@@ -496,7 +498,8 @@ class Pipeline:
         hit = sess_ids[pos_c] == full.session
         ev_cluster = np.where(hit, cl_arr[pos_c], 0).astype(np.int32)
         pop50 = compute_popularity(
-            full, ev_cluster, n_clusters, self.n_aids, cfg.popularity
+            full, ev_cluster, n_clusters, self.n_aids, cfg.popularity,
+            mesh_ctx=self.mesh,
         )
         pop1 = compute_popularity(
             full,
@@ -504,6 +507,7 @@ class Pipeline:
             1,
             self.n_aids,
             cfg.popularity,
+            mesh_ctx=self.mesh,
         )
         self._log("popularity", t0)
 
@@ -708,13 +712,14 @@ def run_synthetic(
     spec: SyntheticSpec,
     batch_sessions: int = 256,
     streaming: Optional[bool] = None,
+    mesh: "Optional[object]" = None,
 ) -> Dict[str, float]:
     """Generate synthetic data, split, and run the full pipeline.
     streaming=None auto-selects the streaming runner past 50k test
     sessions (the batch runner pins every feature tensor on device)."""
     ev = generate(spec)
     sp = split_events(ev, cfg.data.test_days, cfg.data.seed)
-    pipe = Pipeline(cfg=cfg, work_dir=work_dir, n_aids=spec.n_aids)
+    pipe = Pipeline(cfg=cfg, work_dir=work_dir, n_aids=spec.n_aids, mesh=mesh)
     if streaming is None:
         streaming = len(np.unique(sp.test.session)) > 50_000
     if streaming:

@@ -256,12 +256,21 @@ class RankerConfig:
     dropout: float = 0.1
     learning_rate: float = 3e-4
     weight_decay: float = 1e-5
-    epochs: int = 3
+    epochs: int = 16
     batch_sessions: int = 256            # sessions per step
     max_group: int = 128                 # padded candidates per session group
     eval_at: int = 20                    # ndcg@20 (reference: config.py:224)
     seed: int = 42
     sigma: float = 1.0                   # lambdarank pairwise logistic scale
+    # linear-warmup + cosine-decay lr schedule (fraction of total steps
+    # spent warming up; end lr = end_lr_frac * learning_rate)
+    warmup_frac: float = 0.05
+    end_lr_frac: float = 0.05
+    # stop when valid ndcg@eval_at hasn't improved for this many epochs;
+    # the best-epoch params are restored (the reference ships LightGBM
+    # early_stopping commented out but tracks best-iter, utils.py:77-93).
+    # 0 disables (runs all epochs; best-epoch params still kept).
+    early_stop_epochs: int = 4
 
     # Negative downsampling (reference: config.py:203-204).
     neg_to_pos_ratio: int = 40

@@ -16,10 +16,15 @@ Sessions are generated fully vectorized over a [S, L] grid.
 from __future__ import annotations
 
 import dataclasses
+import logging
+import time
+from functools import partial
 
 import numpy as np
 
 from otto_tpu.data.schema import Events
+
+log = logging.getLogger(__name__)
 
 DAY = 24 * 60 * 60
 
@@ -266,20 +271,44 @@ def generate_device(
 
     gen_jit = jax.jit(gen_chunk, static_argnums=(1,), backend=backend)
 
+    # static-size prefix slice: fs[:n] with a dynamic n is a fresh remote
+    # compile PER DISTINCT n (4 arrays x per chunk — measured as the bulk of
+    # the 1191 s reference-scale generate in round 2); rounding n up to a
+    # power of two keeps the program count at ~1 per chunk shape
+    @partial(jax.jit, static_argnums=(1,), backend=backend)
+    def _prefix(x, size):
+        return x[:size]
+
+    from otto_tpu.utils.transfer import fast_pull
+
     base = random.key(spec.seed)
     out_s, out_a, out_t, out_y = [], [], [], []
     done = 0
     ci = 0
+    t0 = time.time()
     while done < spec.n_sessions:
-        S = min(chunk_sessions, spec.n_sessions - done)
+        S_want = min(chunk_sessions, spec.n_sessions - done)
+        # ALWAYS generate a full-size chunk and drop the surplus sessions on
+        # the host: sessions are independent, and a second program shape for
+        # the tail chunk costs another multi-minute remote compile
+        S = min(chunk_sessions, spec.n_sessions)
         fs, fa, ft, fy, n = gen_jit(random.fold_in(base, ci), S)
         n = int(n)
-        out_s.append(np.asarray(fs[:n]) + np.int32(done))
-        out_a.append(np.asarray(fa[:n]))
-        out_t.append(np.asarray(ft[:n]))
-        out_y.append(np.asarray(fy[:n]))
-        done += S
+        size = min(fs.shape[0], max(1024, 1 << (n - 1).bit_length()))
+        cs = fast_pull(_prefix(fs, size))[:n]
+        if S_want < S:  # flat columns are session-sorted: one searchsorted
+            n = int(np.searchsorted(cs, S_want))
+            cs = cs[:n]
+        out_s.append(cs + np.int32(done))
+        out_a.append(fast_pull(_prefix(fa, size))[:n])
+        out_t.append(fast_pull(_prefix(ft, size))[:n])
+        out_y.append(fast_pull(_prefix(fy, size))[:n])
+        done += S_want
         ci += 1
+        log.info(
+            "generate_device: %d/%d sessions (%d events, %.1fs)",
+            done, spec.n_sessions, sum(len(x) for x in out_a), time.time() - t0,
+        )
     return Events(
         session=np.concatenate(out_s),
         aid=np.concatenate(out_a),

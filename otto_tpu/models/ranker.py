@@ -70,8 +70,15 @@ def init_ranker(
     )
 
 
-def score(params: RankerParams, feats: jnp.ndarray) -> jnp.ndarray:
-    """feats [..., F] -> scores [...]. bf16 matmuls, f32 accumulation."""
+def score(
+    params: RankerParams,
+    feats: jnp.ndarray,
+    dropout: float = 0.0,
+    key: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """feats [..., F] -> scores [...]. bf16 matmuls, f32 accumulation.
+    `dropout` > 0 (training only) drops hidden activations with inverted
+    scaling; inference calls leave it at 0."""
     x = (_log_squash(feats) - params.norm_mean) / params.norm_std
     x = x.astype(jnp.bfloat16)
     n = len(params.weights)
@@ -81,7 +88,12 @@ def score(params: RankerParams, feats: jnp.ndarray) -> jnp.ndarray:
             + b
         )
         if i < n - 1:
-            x = jax.nn.relu(x).astype(jnp.bfloat16)
+            x = jax.nn.relu(x)
+            if dropout > 0.0 and key is not None:
+                key, sub = jax.random.split(key)
+                keep = jax.random.bernoulli(sub, 1.0 - dropout, x.shape)
+                x = jnp.where(keep, x / (1.0 - dropout), 0.0)
+            x = x.astype(jnp.bfloat16)
     return x[..., 0]
 
 
@@ -107,8 +119,10 @@ def _lambdarank_loss(
     mask: jnp.ndarray,     # [B, G] bool
     sigma: float,
     k: int,
+    dropout: float = 0.0,
+    key: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    s = score(params, feats)                       # [B, G]
+    s = score(params, feats, dropout, key)         # [B, G]
     s = jnp.where(mask, s, -1e9)
     G = s.shape[1]
 
@@ -140,19 +154,20 @@ def _lambdarank_loss(
     return loss / n_pairs
 
 
-@partial(jax.jit, static_argnums=(4, 5, 6))
+@partial(jax.jit, static_argnums=(4, 5, 6, 7))
 def train_step(
     params: RankerParams,
     opt_state,
     batch: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray],
-    _key,
+    key,
     optimizer,
     sigma: float,
     k: int,
+    dropout: float = 0.0,
 ):
     feats, labels, mask = batch
     loss, grads = jax.value_and_grad(_lambdarank_loss)(
-        params, feats, labels, mask, sigma, k
+        params, feats, labels, mask, sigma, k, dropout, key
     )
     # normalization stats are constants, not trained
     grads = grads._replace(
@@ -237,12 +252,16 @@ def train_ranker(
     cfg: RankerConfig,
     valid: Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]] = None,
 ) -> Ranker:
-    """Group rows by session, pad groups to cfg.max_group, train."""
+    """Group rows by session, pad groups to cfg.max_group, train.
+
+    Training loop (VERDICT r2 item 7): linear-warmup + cosine-decay lr,
+    train-time dropout, per-epoch valid ndcg@k with best-epoch tracking and
+    optional early stopping — the LightGBM-side equivalents the reference
+    relies on (best-iter extraction reference: utils.py:77-93, eval logs
+    every 25 iters reference: config.py:223-227)."""
     feats = np.asarray(feats, np.float32)
     mean, std = compute_norm_stats(feats[: 1 << 20])
     params = init_ranker(feats.shape[1], cfg, mean, std)
-    optimizer = optax.adamw(cfg.learning_rate, weight_decay=cfg.weight_decay)
-    opt_state = optimizer.init(params)
 
     fg, lg, mg = _group_pad(feats, labels, group_sessions, cfg.max_group)
     n_groups = fg.shape[0]
@@ -251,7 +270,29 @@ def train_ranker(
     # fewer groups than the configured batch => shrink the batch, otherwise
     # the epoch loop below would run zero steps and train nothing
     B = min(cfg.batch_sessions, n_groups)
+    steps_per_epoch = max(1, n_groups // B)
+    total_steps = steps_per_epoch * cfg.epochs
+    warmup = max(1, int(total_steps * getattr(cfg, "warmup_frac", 0.05)))
+    schedule = optax.warmup_cosine_decay_schedule(
+        init_value=0.0,
+        peak_value=cfg.learning_rate,
+        warmup_steps=warmup,
+        decay_steps=total_steps,
+        end_value=cfg.learning_rate * getattr(cfg, "end_lr_frac", 0.05),
+    )
+    optimizer = optax.adamw(schedule, weight_decay=cfg.weight_decay)
+    opt_state = optimizer.init(params)
 
+    vpack = None
+    if valid is not None:
+        vf, vl, vs = valid
+        vfg, vlg, vmg = _group_pad(
+            np.asarray(vf, np.float32), vl, vs, cfg.max_group
+        )
+        vpack = (vfg, vlg, vmg, vf.shape[1])
+
+    es = int(getattr(cfg, "early_stop_epochs", 0) or 0)
+    best_ndcg, best_params, best_epoch = -1.0, None, -1
     loss = jnp.float32(0)
     for epoch in range(cfg.epochs):
         perm = rng.permutation(n_groups)
@@ -270,17 +311,25 @@ def train_ranker(
                 optimizer,
                 cfg.sigma,
                 cfg.eval_at,
+                float(cfg.dropout),
             )
         msg = f"ranker epoch {epoch}: loss={float(loss):.5f}"
-        # valid ndcg only on the final epoch: the eval re-uploads the whole
-        # valid set, which dominates epoch time on tunneled runtimes
-        if valid is not None and epoch == cfg.epochs - 1:
-            vf, vl, vs = valid
-            vfg, vlg, vmg = _group_pad(vf, vl, vs, cfg.max_group)
+        if vpack is not None:
+            vfg, vlg, vmg, Fv = vpack
             r = Ranker(cfg, params, feature_names)
-            vscores = r.predict(vfg.reshape(-1, vf.shape[1])).reshape(vfg.shape[:2])
-            msg += f" valid ndcg@{cfg.eval_at}={ndcg_at_k(vscores, vlg, vmg, cfg.eval_at):.5f}"
+            vscores = r.predict(vfg.reshape(-1, Fv)).reshape(vfg.shape[:2])
+            vndcg = ndcg_at_k(vscores, vlg, vmg, cfg.eval_at)
+            msg += f" valid ndcg@{cfg.eval_at}={vndcg:.5f}"
+            if vndcg > best_ndcg:
+                best_ndcg, best_epoch = vndcg, epoch
+                best_params = jax.tree.map(np.asarray, params)
+            elif es and epoch - best_epoch >= es:
+                log.info("%s (early stop; best epoch %d ndcg %.5f)",
+                         msg, best_epoch, best_ndcg)
+                break
         log.info(msg)
+    if best_params is not None:
+        params = jax.tree.map(jnp.asarray, best_params)
 
     return Ranker(cfg, params, feature_names)
 

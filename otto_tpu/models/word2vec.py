@@ -146,23 +146,11 @@ _NEG_CHUNK = 64
 _SHARED_NEG_FACTOR = 8
 
 
-def _sgns_step_body(
-    params: SGNSParams,
-    words: jnp.ndarray,      # [N] int32 word ids, FLAT ragged corpus
-    cum_len: jnp.ndarray,    # [S+1] int32 session start offsets into words
-    neg_cdf: jnp.ndarray,    # [V] float32
-    keep_prob: jnp.ndarray,  # [V] float32 subsampling keep probability
-    lr: jnp.ndarray,
-    batch: int,
-    window: int,
-    n_negs: int,
-    key: jnp.ndarray,
-    neg_mode: str = "pair",
-) -> Tuple[SGNSParams, jnp.ndarray]:
-    # FLAT corpus layout: sessions are contiguous runs words[cum_len[s] :
-    # cum_len[s+1]] — zero padding, so the whole 220M-event OTTO corpus is
-    # ~880 MB on device (the padded [S, L] grid it replaced needed 13 GB at
-    # reference scale and would not fit HBM next to the embedding tables).
+def _sample_pair_batch(words, cum_len, keep_prob, batch, window, key):
+    """Device-side (center, context, valid, neg_key) sampling over the flat
+    ragged corpus — shared by the single-device and model-parallel steps.
+    Pure function of (corpus, key): replicating it across shards with the
+    same key reproduces identical index streams on every device."""
     N = words.shape[0]
     S = cum_len.shape[0] - 1
     total = cum_len[-1]
@@ -198,6 +186,68 @@ def _sgns_step_body(
     x_safe = jnp.clip(context, 0, None)
     keep = (su[:, 0] < keep_prob[c_safe]) & (su[:, 1] < keep_prob[x_safe])
     valid = valid & keep
+    return c_safe, x_safe, valid, k6
+
+
+def _chunk_neg_grads(c, rows_out, valid, batch: int, n_negs: int):
+    """Chunk-shared-negative SGNS gradients from gathered rows.
+
+    c [B, D] center rows; rows_out [B + Nc*Ks, D] = context rows ++ shared
+    negative-pool rows. Returns (g_c [B, D], g_out [B + Nc*Ks, D], loss,
+    n_valid). Pure math on gathered rows — shared verbatim by the
+    single-device step and the row-sharded model-parallel step (which only
+    differ in HOW rows are gathered/scattered)."""
+    Bc = min(_NEG_CHUNK, batch)
+    Nc = max(1, batch // Bc)
+    Ks = n_negs * _SHARED_NEG_FACTOR
+    D = c.shape[-1]
+    vf = valid.astype(jnp.float32)
+    pv = rows_out[:batch]                     # [B, D]
+    pos_logit = jnp.sum(c * pv, axis=-1)      # [B]
+    # d/dz of -log_sigmoid(z) = sigmoid(z)-1; of -log_sigmoid(-z) = sigmoid(z)
+    d_pos = (jax.nn.sigmoid(pos_logit) - 1.0) * vf
+    n = rows_out[batch:].reshape(Nc, Ks, D)
+    cc = c.reshape(Nc, Bc, D)
+    vc = vf.reshape(Nc, Bc)
+    neg_logit = jnp.einsum("nbd,nkd->nbk", cc, n)              # [Nc, Bc, Ks]
+    # averaged over the pool so the positive:negative gradient balance
+    # matches per-pair SGNS with n_negs draws
+    neg_w = jnp.float32(n_negs) / jnp.float32(Ks)
+    d_neg = jax.nn.sigmoid(neg_logit) * (vc[:, :, None] * neg_w)
+    g_c = d_pos[:, None] * pv + jnp.einsum(
+        "nbk,nkd->nbd", d_neg, n
+    ).reshape(-1, D)
+    g_n = jnp.einsum("nbk,nbd->nkd", d_neg, cc)                # [Nc, Ks, D]
+    g_pv = d_pos[:, None] * c
+    g_out = jnp.concatenate([g_pv, g_n.reshape(-1, D)])
+    per_pair = -jax.nn.log_sigmoid(pos_logit) - neg_w * jnp.sum(
+        jax.nn.log_sigmoid(-neg_logit), axis=-1
+    ).reshape(-1)
+    loss = jnp.sum(jnp.where(valid, per_pair, 0.0))
+    n_valid = jnp.maximum(jnp.sum(valid), 1)
+    return g_c, g_out, loss, n_valid
+
+
+def _sgns_step_body(
+    params: SGNSParams,
+    words: jnp.ndarray,      # [N] int32 word ids, FLAT ragged corpus
+    cum_len: jnp.ndarray,    # [S+1] int32 session start offsets into words
+    neg_cdf: jnp.ndarray,    # [V] float32
+    keep_prob: jnp.ndarray,  # [V] float32 subsampling keep probability
+    lr: jnp.ndarray,
+    batch: int,
+    window: int,
+    n_negs: int,
+    key: jnp.ndarray,
+    neg_mode: str = "pair",
+) -> Tuple[SGNSParams, jnp.ndarray]:
+    # FLAT corpus layout: sessions are contiguous runs words[cum_len[s] :
+    # cum_len[s+1]] — zero padding, so the whole 220M-event OTTO corpus is
+    # ~880 MB on device (the padded [S, L] grid it replaced needed 13 GB at
+    # reference scale and would not fit HBM next to the embedding tables).
+    c_safe, x_safe, valid, k6 = _sample_pair_batch(
+        words, cum_len, keep_prob, batch, window, key
+    )
 
     if neg_mode == "chunk":
         # SPARSE step, negatives SHARED within Bc-pair chunks: gather the
@@ -208,38 +258,18 @@ def _sgns_step_body(
         # negative draws per step measurably weakens embeddings on SMALL
         # corpora (few total steps), so this is the opt-in production mode
         # (see Word2VecConfig.neg_sharing).
-        Bc = min(_NEG_CHUNK, batch)
-        Nc = max(1, batch // Bc)
-        Ks = n_negs * _SHARED_NEG_FACTOR
-        un = jax.random.uniform(k6, (Nc, Ks))
-        negs = jnp.searchsorted(neg_cdf, un).astype(jnp.int32)     # [Nc, Ks]
-        negs_f = negs.reshape(-1)
+        un = jax.random.uniform(k6, (max(1, batch // min(_NEG_CHUNK, batch)),
+                                     n_negs * _SHARED_NEG_FACTOR))
+        negs_f = jnp.searchsorted(neg_cdf, un).astype(jnp.int32).reshape(-1)
 
         # one fused gather / one fused scatter per table (chained .at[]
         # calls each cost a separate scatter pass)
         ids_out = jnp.concatenate([x_safe, negs_f])
         rows_out = params.emb_out[ids_out]        # [B + Nc*Ks, D]
         c = params.emb_in[c_safe]                 # [B, D]
-        pv = rows_out[:batch]                     # [B, D]
-        D = c.shape[-1]
-        vf = valid.astype(jnp.float32)
-        pos_logit = jnp.sum(c * pv, axis=-1)      # [B]
-        # d/dz of -log_sigmoid(z) = sigmoid(z)-1; of -log_sigmoid(-z) = sigmoid(z)
-        d_pos = (jax.nn.sigmoid(pos_logit) - 1.0) * vf
-        n = rows_out[batch:].reshape(Nc, Ks, D)
-        cc = c.reshape(Nc, Bc, D)
-        vc = vf.reshape(Nc, Bc)
-        neg_logit = jnp.einsum("nbd,nkd->nbk", cc, n)              # [Nc, Bc, Ks]
-        # averaged over the pool so the positive:negative gradient balance
-        # matches per-pair SGNS with n_negs draws
-        neg_w = jnp.float32(n_negs) / jnp.float32(Ks)
-        d_neg = jax.nn.sigmoid(neg_logit) * (vc[:, :, None] * neg_w)
-        g_c = d_pos[:, None] * pv + jnp.einsum(
-            "nbk,nkd->nbd", d_neg, n
-        ).reshape(-1, D)
-        g_n = jnp.einsum("nbk,nbd->nkd", d_neg, cc)                # [Nc, Ks, D]
-        g_pv = d_pos[:, None] * c
-        g_out = jnp.concatenate([g_pv, g_n.reshape(-1, D)])
+        g_c, g_out, loss, n_valid = _chunk_neg_grads(
+            c, rows_out, valid, batch, n_negs
+        )
 
         # per-row Adagrad with pre-update accumulators (duplicate ids in a
         # batch see slightly stale scales — the batched analogue of gensim's
@@ -254,11 +284,6 @@ def _sgns_step_body(
             acc_in=params.acc_in.at[c_safe].add(gsq_c),
             acc_out=params.acc_out.at[ids_out].add(gsq_out),
         )
-        per_pair = -jax.nn.log_sigmoid(pos_logit) - neg_w * jnp.sum(
-            jax.nn.log_sigmoid(-neg_logit), axis=-1
-        ).reshape(-1)
-        loss = jnp.sum(jnp.where(valid, per_pair, 0.0))
-        n_valid = jnp.maximum(jnp.sum(valid), 1)
         return new, loss / n_valid.astype(jnp.float32)
 
     # 'pair' (default): per-pair negatives with DENSE autodiff grads and
@@ -439,6 +464,110 @@ def sgns_epoch_device(
     )
 
 
+# ---------------------------------------------------------------------------
+# Model-parallel SGNS: the 1.8M-row embedding tables are the pipeline's one
+# genuine model-parallel axis (SURVEY.md §2.2; reference hot loop:
+# model/w2vec_aids.py:56-70 runs 16 hogwild threads over one shared table).
+# Rows shard over the mesh's model axis; each step's index stream is
+# REPLICATED (same rng key on every shard), gathers are psum-of-masked-local
+# -gathers (each id owned by exactly one shard, so the psum is exact), and
+# updates scatter only into owned rows — bit-identical to the single-device
+# chunk step up to the psum's zero-adds.
+# ---------------------------------------------------------------------------
+
+
+def _mp_gather(table_local, ids, v0, vs, axis_name):
+    """Replicated [B, D] (or [B]) rows of a row-sharded table."""
+    own = (ids >= v0) & (ids < v0 + vs)
+    loc = jnp.clip(ids - v0, 0, vs - 1)
+    rows = table_local[loc]
+    mask = own if rows.ndim == 1 else own[:, None]
+    return jax.lax.psum(jnp.where(mask, rows, 0.0), axis_name)
+
+
+def _mp_scatter_add(table_local, ids, upd, v0, vs):
+    """Scatter-add upd rows into the local shard for owned ids (others
+    dropped via an out-of-range index)."""
+    own = (ids >= v0) & (ids < v0 + vs)
+    loc = jnp.where(own, ids - v0, vs)  # vs = out of range -> dropped
+    return table_local.at[loc].add(upd, mode="drop")
+
+
+def _sgns_step_body_mp(
+    params_local: SGNSParams,
+    words, cum_len, neg_cdf, keep_prob, lr,
+    batch: int, window: int, n_negs: int, key, axis_name: str,
+):
+    """One chunk-mode SGNS step on a row-sharded table (inside shard_map)."""
+    vs = params_local.emb_in.shape[0]
+    v0 = jax.lax.axis_index(axis_name) * vs
+    c_safe, x_safe, valid, k6 = _sample_pair_batch(
+        words, cum_len, keep_prob, batch, window, key
+    )
+    un = jax.random.uniform(k6, (max(1, batch // min(_NEG_CHUNK, batch)),
+                                 n_negs * _SHARED_NEG_FACTOR))
+    negs_f = jnp.searchsorted(neg_cdf, un).astype(jnp.int32).reshape(-1)
+
+    ids_out = jnp.concatenate([x_safe, negs_f])
+    rows_out = _mp_gather(params_local.emb_out, ids_out, v0, vs, axis_name)
+    c = _mp_gather(params_local.emb_in, c_safe, v0, vs, axis_name)
+    g_c, g_out, loss, n_valid = _chunk_neg_grads(
+        c, rows_out, valid, batch, n_negs
+    )
+
+    gsq_c = jnp.mean(g_c**2, axis=1)
+    gsq_out = jnp.mean(g_out**2, axis=1)
+    acc_in_rows = _mp_gather(params_local.acc_in, c_safe, v0, vs, axis_name)
+    acc_out_rows = _mp_gather(params_local.acc_out, ids_out, v0, vs, axis_name)
+    scale_c = lr * jax.lax.rsqrt(acc_in_rows + gsq_c + 1e-8)
+    scale_out = lr * jax.lax.rsqrt(acc_out_rows + gsq_out + 1e-8)
+    new = SGNSParams(
+        emb_in=_mp_scatter_add(
+            params_local.emb_in, c_safe, -scale_c[:, None] * g_c, v0, vs
+        ),
+        emb_out=_mp_scatter_add(
+            params_local.emb_out, ids_out, -scale_out[:, None] * g_out, v0, vs
+        ),
+        acc_in=_mp_scatter_add(params_local.acc_in, c_safe, gsq_c, v0, vs),
+        acc_out=_mp_scatter_add(params_local.acc_out, ids_out, gsq_out, v0, vs),
+    )
+    return new, loss / n_valid.astype(jnp.float32)
+
+
+def make_sgns_epoch_mp(
+    mesh_ctx, batch: int, window: int, n_negs: int, n_steps: int,
+):
+    """Jitted model-parallel epoch chunk: params row-sharded over the model
+    axis, corpus/cdf replicated, n_steps fused per dispatch (same dispatch
+    economics as sgns_epoch_device)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh_ctx.model_axis
+
+    def epoch(params, words, cum_len, neg_cdf, keep_prob, lr, key):
+        def body(i, carry):
+            p, _ = carry
+            return _sgns_step_body_mp(
+                p, words, cum_len, neg_cdf, keep_prob, lr,
+                batch, window, n_negs, jax.random.fold_in(key, i), axis,
+            )
+
+        return lax.fori_loop(0, n_steps, body, (params, jnp.float32(0.0)))
+
+    p_specs = SGNSParams(
+        emb_in=P(axis, None), emb_out=P(axis, None),
+        acc_in=P(axis), acc_out=P(axis),
+    )
+    fn = shard_map(
+        epoch, mesh=mesh_ctx.mesh,
+        in_specs=(p_specs, P(), P(), P(), P(), P(), P()),
+        out_specs=(p_specs, P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
 def flat_corpus(
     ev: Events, vocab: Vocab, types
 ) -> Tuple[np.ndarray, np.ndarray]:
@@ -476,10 +605,17 @@ def train_word2vec_device(
     n_aids: Optional[int] = None,
     max_len: int = 256,   # unused (flat layout); kept for API compat
     checkpoint_path: Optional[str] = None,
+    mesh_ctx=None,
 ) -> Word2Vec:
     """Device-sampled training: the corpus uploads once as a FLAT ragged
     word stream (~4 bytes/event — no padding), every step samples pairs +
-    negatives on device (see sgns_step_device_sampled). Preferred at scale."""
+    negatives on device (see sgns_step_device_sampled). Preferred at scale.
+
+    With `mesh_ctx` and a model axis > 1, the embedding tables row-shard
+    over the model axis (make_sgns_epoch_mp) — the production form of
+    SURVEY §2.2's one genuine model-parallel axis. Requires chunk
+    negative-sharing (pair mode's dense grads would all-reduce the whole
+    table per step)."""
     rng = np.random.default_rng(cfg.seed)
     vocab = build_vocab(ev, cfg.types, cfg.min_count, n_aids)
     if vocab.size == 0:
@@ -531,8 +667,53 @@ def train_word2vec_device(
             (params, key), start_epoch = restored
             log.info("w2v[device] %s resumed at epoch %d", cfg.name, start_epoch)
 
+    # model-parallel setup: pad the row axis to the shard count, shard the
+    # tables, keep the index/cdf space at the TRUE V (padded rows are never
+    # sampled or gathered, so MP == single-device bit-for-bit)
+    n_model = (
+        mesh_ctx.mesh.shape[mesh_ctx.model_axis] if mesh_ctx is not None else 1
+    )
+    mp = n_model > 1
+    epoch_mp = None
+    if mp:
+        if neg_mode != "chunk":
+            log.info(
+                "w2v[device] %s: model-parallel requires chunk negative "
+                "sharing; switching neg_sharing %s -> chunk", cfg.name,
+                neg_mode,
+            )
+            neg_mode = "chunk"
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        Vp = -(-V // n_model) * n_model
+        if Vp != V:
+            pad = Vp - V
+
+            def _pad_rows(x, fill=0.0):
+                w = ((0, pad),) + ((0, 0),) * (x.ndim - 1)
+                return jnp.pad(x, w, constant_values=fill)
+
+            params = SGNSParams(
+                _pad_rows(params.emb_in), _pad_rows(params.emb_out),
+                _pad_rows(params.acc_in, 1e-6), _pad_rows(params.acc_out, 1e-6),
+            )
+        rows = NamedSharding(mesh_ctx.mesh, P(mesh_ctx.model_axis))
+        rows2 = NamedSharding(
+            mesh_ctx.mesh, P(mesh_ctx.model_axis, None)
+        )
+        params = SGNSParams(
+            jax.device_put(params.emb_in, rows2),
+            jax.device_put(params.emb_out, rows2),
+            jax.device_put(params.acc_in, rows),
+            jax.device_put(params.acc_out, rows),
+        )
+
     loss = jnp.float32(0)
     chunk = max(1, int(getattr(cfg, "steps_per_dispatch", 64)))
+    if mp:
+        epoch_mp = make_sgns_epoch_mp(
+            mesh_ctx, cfg.batch_size, cfg.window, cfg.negatives, chunk
+        )
     for epoch in range(start_epoch, cfg.epochs):
         key, sub = jax.random.split(key)
         # epoch = a host loop of fixed-size fused dispatches: one dispatch
@@ -544,12 +725,19 @@ def train_word2vec_device(
         # step target is a sampling heuristic, slight overshoot is fine.
         n_chunks = max(1, (steps_per_epoch + chunk - 1) // chunk)
         for c in range(n_chunks):
-            params, loss = sgns_epoch_device(
-                params, words_d, cum_d, neg_cdf, keep_prob_d,
-                jnp.float32(cfg.learning_rate),
-                cfg.batch_size, cfg.window, cfg.negatives, chunk,
-                jax.random.fold_in(sub, c), neg_mode,
-            )
+            sub_c = jax.random.fold_in(sub, c)
+            if mp:
+                params, loss = epoch_mp(
+                    params, words_d, cum_d, neg_cdf, keep_prob_d,
+                    jnp.float32(cfg.learning_rate), sub_c,
+                )
+            else:
+                params, loss = sgns_epoch_device(
+                    params, words_d, cum_d, neg_cdf, keep_prob_d,
+                    jnp.float32(cfg.learning_rate),
+                    cfg.batch_size, cfg.window, cfg.negatives, chunk,
+                    sub_c, neg_mode,
+                )
         log.info("w2v[device] %s epoch %d: %d steps (%d dispatches), loss=%.4f",
                  cfg.name, epoch, n_chunks * chunk, n_chunks, float(loss))
         if checkpoint_path is not None:
@@ -557,7 +745,7 @@ def train_word2vec_device(
 
             save_checkpoint(checkpoint_path, (params, key), epoch + 1)
 
-    emb = np.asarray(params.emb_in)[:, : cfg.vector_size]
+    emb = np.asarray(params.emb_in)[:V, : cfg.vector_size]
     return Word2Vec(cfg, vocab, emb)
 
 

@@ -334,6 +334,19 @@ def _reduce_identity(dtype, red: str):
     return jnp.array(SENTINEL if red == "min" else NEG_SENTINEL, dtype)
 
 
+def _pallas_segscan_mode() -> str:
+    """'on' | 'off' | 'interpret' — whether rowwise_groupby_scan's stacked
+    scans route through the single-pass Pallas segmented-scan kernel
+    (ops/pallas/segscan.py: ~2 HBM passes vs ~13 for the Hillis-Steele
+    roll+select network at retrieval's grid widths). Auto: on for TPU."""
+    import os
+
+    v = os.environ.get("OTTO_PALLAS_SEGSCAN", "auto")
+    if v in ("on", "off", "interpret"):
+        return v
+    return "on" if jax.default_backend() == "tpu" else "off"
+
+
 def _pallas_gather_mode() -> str:
     """'on' | 'off' | 'interpret' — whether transport gathers route through
     the Pallas chunked-vreg gather kernel (ops/pallas/gather.py). Auto: on
@@ -421,9 +434,17 @@ def rowwise_groupby_scan(
             continue
         groups.setdefault((jnp.dtype(arr.dtype).name, red), []).append(n)
     out = dict(by_name)
+    segscan_mode = _pallas_segscan_mode()
     for (_, red), gnames in groups.items():
         st = jnp.stack([by_name[n] for n in gnames], axis=0)
-        (sc,) = segmented_scan((st,), (red,), first[None, :, :], axis=2)
+        if segscan_mode in ("on", "interpret"):
+            from otto_tpu.ops.pallas.segscan import segmented_scan_pallas
+
+            sc = segmented_scan_pallas(
+                st, first, red, interpret=segscan_mode == "interpret"
+            )
+        else:
+            (sc,) = segmented_scan((st,), (red,), first[None, :, :], axis=2)
         for j, n in enumerate(gnames):
             out[n] = sc[j]
 

@@ -226,11 +226,15 @@ class Pipeline:
         sess_acc, cand_acc, flag_batches = [], [], []
         n_sessions = 0
 
+        cand_counts = []   # candidates/session (reference README.md:42-47
+        #                    anchor: mean 172.354, min 56, max 2322)
+
         def consume_a(b):
             nonlocal n_sessions
             n_sessions += len(b.session)
             sess_acc.append(b.session)
             cand_acc.append(b.cand)
+            cand_counts.append((b.cand >= 0).sum(axis=1))
             if labels is None:
                 return
             flag_batches.append(SrcFlagBatch.from_batch(b))
@@ -283,6 +287,20 @@ class Pipeline:
             flag_batches, labels, t0,
         )
         del flag_batches, sess_acc, cand_acc
+        # candidate-count distribution vs the reference's published stats
+        # (reference: README.md:42-47 — mean 172.354, min 56, max 2322;
+        # a shape mismatch here catches silent retrieval bugs that recall
+        # on synthetic data cannot)
+        cc = np.concatenate(cand_counts)
+        metrics["cand_per_session_mean"] = float(cc.mean())
+        metrics["cand_per_session_min"] = int(cc.min())
+        metrics["cand_per_session_max"] = int(cc.max())
+        log.info(
+            "candidates/session: mean %.1f min %d max %d "
+            "(reference: 172.4 / 56 / 2322, README.md:42-47)",
+            cc.mean(), cc.min(), cc.max(),
+        )
+        del cand_counts, cc
 
         rankers: Dict[str, object] = {}
         for tname in TYPES:
@@ -399,12 +417,14 @@ class Pipeline:
             if self._cached(f"w2v-{name}.npz"):
                 models[name] = Word2Vec.load(mpath, wcfg)
             else:
-                trainer = (
-                    train_word2vec_device
-                    if wcfg.sampler == "device"
-                    else train_word2vec
-                )
-                models[name] = trainer(full, wcfg, self.n_aids)
+                if wcfg.sampler == "device":
+                    # row-sharded tables when the mesh has a model axis
+                    # (SURVEY §2.2's one genuine model-parallel axis)
+                    models[name] = train_word2vec_device(
+                        full, wcfg, self.n_aids, mesh_ctx=self.mesh
+                    )
+                else:
+                    models[name] = train_word2vec(full, wcfg, self.n_aids)
                 models[name].save(mpath)
             kpath = self._p(f"knn-{name}.npz")
             if self._cached(f"knn-{name}.npz"):

@@ -23,7 +23,16 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from otto_tpu.config import DEFAULT, setup_logging
+from otto_tpu.config import (
+    DEFAULT,
+    enable_persistent_compilation_cache,
+    setup_logging,
+)
+
+# BEFORE any jit: generation runs before the Pipeline (which normally
+# enables the cache), and its device-walk program is a multi-minute remote
+# compile — without this the cost recurs every launch
+enable_persistent_compilation_cache()
 from otto_tpu.data.split import split_events
 from otto_tpu.data.synthetic import SyntheticSpec, generate, generate_device
 from otto_tpu.pipeline.runner import Pipeline

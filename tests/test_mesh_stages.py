@@ -112,3 +112,27 @@ def test_cli_mesh_run_synthetic(tmp_path):
     metrics = json.loads(buf.getvalue())
     assert metrics["ceiling_total"] > 0.2
     assert metrics["total"] > 0.05
+
+
+@needs_devices
+def test_sgns_model_parallel_matches_single():
+    """Row-sharded SGNS (model axis) must reproduce single-device chunk-mode
+    training: same rng stream, gathers are psum-of-one-owner (exact), so
+    embeddings match to float tolerance (VERDICT item 5)."""
+    import dataclasses
+
+    from otto_tpu.config import Word2VecConfig
+    from otto_tpu.models.word2vec import train_word2vec_device
+
+    ev = generate(SyntheticSpec(n_sessions=400, n_aids=300, mean_len=8,
+                                seed=13))
+    cfg = Word2VecConfig(
+        name="t", types=(0, 1, 2), vector_size=16, window=4, min_count=1,
+        epochs=1, batch_size=512, steps_per_dispatch=4,
+        neg_sharing="chunk", knn_k=5, subsample_t=0,
+    )
+    m_single = train_word2vec_device(ev, cfg)
+    ctx = make_mesh(jax.devices()[:4], data_parallel=1, model_parallel=4)
+    m_mp = train_word2vec_device(ev, cfg, mesh_ctx=ctx)
+    assert m_single.emb.shape == m_mp.emb.shape
+    np.testing.assert_allclose(m_single.emb, m_mp.emb, rtol=2e-4, atol=2e-5)

@@ -174,7 +174,11 @@ def generate_device(
         r = jnp.exp(jnp.log(n_aids_f) * (u ** spec.zipf_a)).astype(jnp.int32) - 1
         return jnp.clip(r, 0, spec.n_aids - 1)
 
-    def gen_chunk(key, S):
+    # permd/perm_invd enter as ARGUMENTS: closing over them bakes 2 x n_aids
+    # int32 constants into the jaxpr, which defeats the persistent compile
+    # cache (fresh multi-minute remote compile per process launch, measured
+    # ~6 min at 300k aids)
+    def gen_chunk(permd, perm_invd, key, S):
         ks = random.split(key, 5)
         lengths = jnp.clip(
             jnp.exp(jnp.log(spec.mean_len)
@@ -269,7 +273,7 @@ def generate_device(
         )
         return fs, fa, ft, fy, jnp.sum(valid.astype(jnp.int32))
 
-    gen_jit = jax.jit(gen_chunk, static_argnums=(1,), backend=backend)
+    gen_jit = jax.jit(gen_chunk, static_argnums=(3,), backend=backend)
 
     # static-size prefix slice: fs[:n] with a dynamic n is a fresh remote
     # compile PER DISTINCT n (4 arrays x per chunk — measured as the bulk of
@@ -292,7 +296,7 @@ def generate_device(
         # the host: sessions are independent, and a second program shape for
         # the tail chunk costs another multi-minute remote compile
         S = min(chunk_sessions, spec.n_sessions)
-        fs, fa, ft, fy, n = gen_jit(random.fold_in(base, ci), S)
+        fs, fa, ft, fy, n = gen_jit(permd, perm_invd, random.fold_in(base, ci), S)
         n = int(n)
         size = min(fs.shape[0], max(1024, 1 << (n - 1).bit_length()))
         cs = fast_pull(_prefix(fs, size))[:n]

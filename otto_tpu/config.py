@@ -253,8 +253,12 @@ class RankerConfig:
     class change (see SURVEY.md §7 'Hard parts')."""
 
     hidden_dims: Tuple[int, ...] = (256, 128, 64)
-    dropout: float = 0.1
-    learning_rate: float = 3e-4
+    # defaults = best of the EXP_RANKER sweep (20k-session synthetic,
+    # 2026-08-21): lr 1e-3 / no dropout / warmup+cosine / early stop
+    # reached 85.0% of the retrieval ceiling vs 82.9% for the round-2
+    # fixed-lr 3-epoch loop. GBDT (91.1%) remains the default backend.
+    dropout: float = 0.0
+    learning_rate: float = 1e-3
     weight_decay: float = 1e-5
     epochs: int = 16
     batch_sessions: int = 256            # sessions per step
@@ -271,6 +275,13 @@ class RankerConfig:
     # early_stopping commented out but tracks best-iter, utils.py:77-93).
     # 0 disables (runs all epochs; best-epoch params still kept).
     early_stop_epochs: int = 4
+    # listwise group context: augment each candidate's input with
+    # group-relative deltas (x - mean_g, x - max_g over the session's valid
+    # candidates) — the MLP analogue of LightGBM's session-grouped splits
+    # (models/ranker.py score()). Measured NEUTRAL-to-slightly-negative on
+    # the 20k synthetic sweep (83.9% vs 84.8% of ceiling at the same lr),
+    # so off by default; kept as a capability for real-data tuning.
+    group_context: bool = False
 
     # Negative downsampling (reference: config.py:203-204).
     neg_to_pos_ratio: int = 40

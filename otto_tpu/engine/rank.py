@@ -145,10 +145,13 @@ def score_and_topk(
             score_out.append(top_score)
             continue
         S, C = b.cand.shape
-        scores = ranker.predict(
-            np.asarray(b.feats, np.float32).reshape(-1, b.feats.shape[-1])
-        )
-        scores = scores.reshape(S, C)
+        if getattr(getattr(ranker, "params", None), "src_idx", None) is not None:
+            # listwise (group-context) tower: keep the candidate-group axis
+            scores = ranker.predict_grouped(np.asarray(b.feats, np.float32))
+        else:
+            scores = ranker.predict(
+                np.asarray(b.feats, np.float32).reshape(-1, b.feats.shape[-1])
+            ).reshape(S, C)
         scores = np.where(b.cand >= 0, scores, -np.inf)
         order = np.argsort(-scores, axis=1, kind="stable")[:, :top_k]
         top_aid = np.take_along_axis(b.cand, order, axis=1)

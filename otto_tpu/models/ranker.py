@@ -39,6 +39,14 @@ class RankerParams(NamedTuple):
     norm_mean: jnp.ndarray   # [F]
     norm_std: jnp.ndarray    # [F]
     weights: Tuple           # tuple of (W, b) per layer
+    # [n_src] feature indices of the src_* flags, or None. When set, the
+    # tower scores LISTWISE: the axis before F is the candidate group and
+    # the input is augmented with group-relative context (x - mean_g,
+    # x - max_g over valid candidates; validity = any src flag set). An
+    # independent per-candidate MLP cannot express "best in its session" —
+    # LightGBM's session-wise splits can, and this closes most of that gap
+    # (EXP_RANKER.json).
+    src_idx: "jnp.ndarray | None" = None
 
 
 def _log_squash(x: jnp.ndarray) -> jnp.ndarray:
@@ -52,9 +60,11 @@ def init_ranker(
     feat_mean: np.ndarray,
     feat_std: np.ndarray,
     seed: Optional[int] = None,
+    src_idx: Optional[np.ndarray] = None,
 ) -> RankerParams:
     key = jax.random.PRNGKey(cfg.seed if seed is None else seed)
-    dims = [n_features, *cfg.hidden_dims, 1]
+    in_dim = n_features * (3 if src_idx is not None else 1)
+    dims = [in_dim, *cfg.hidden_dims, 1]
     weights = []
     for i in range(len(dims) - 1):
         key, sub = jax.random.split(key)
@@ -67,6 +77,7 @@ def init_ranker(
         norm_mean=jnp.asarray(feat_mean, jnp.float32),
         norm_std=jnp.asarray(feat_std, jnp.float32),
         weights=tuple(weights),
+        src_idx=None if src_idx is None else jnp.asarray(src_idx, jnp.int32),
     )
 
 
@@ -78,8 +89,23 @@ def score(
 ) -> jnp.ndarray:
     """feats [..., F] -> scores [...]. bf16 matmuls, f32 accumulation.
     `dropout` > 0 (training only) drops hidden activations with inverted
-    scaling; inference calls leave it at 0."""
+    scaling; inference calls leave it at 0.
+
+    With params.src_idx set, the axis before F is the candidate GROUP and
+    the input is augmented listwise: [x, x - mean_g(x), x - max_g(x)] over
+    the group's valid candidates (validity = any src_* flag set — padding
+    rows are all-zero there by the retrieval null-fill contract)."""
     x = (_log_squash(feats) - params.norm_mean) / params.norm_std
+    if params.src_idx is not None:
+        valid = jnp.sum(feats[..., params.src_idx] > 0, axis=-1) > 0  # [..., G]
+        vf = valid[..., None].astype(jnp.float32)
+        n_valid = jnp.maximum(jnp.sum(vf, axis=-2, keepdims=True), 1.0)
+        g_mean = jnp.sum(x * vf, axis=-2, keepdims=True) / n_valid
+        g_max = jnp.max(
+            jnp.where(vf > 0, x, -jnp.inf), axis=-2, keepdims=True
+        )
+        g_max = jnp.where(jnp.isfinite(g_max), g_max, 0.0)
+        x = jnp.concatenate([x, x - g_mean, x - g_max], axis=-1)
     x = x.astype(jnp.bfloat16)
     n = len(params.weights)
     for i, (w, b) in enumerate(params.weights):
@@ -166,16 +192,20 @@ def train_step(
     dropout: float = 0.0,
 ):
     feats, labels, mask = batch
-    loss, grads = jax.value_and_grad(_lambdarank_loss)(
-        params, feats, labels, mask, sigma, k, dropout, key
+
+    # differentiate the layer weights ONLY: norm stats are constants and
+    # src_idx is an int32 index table (grad rejects integer leaves)
+    def loss_of_weights(weights):
+        return _lambdarank_loss(
+            params._replace(weights=weights), feats, labels, mask,
+            sigma, k, dropout, key,
+        )
+
+    loss, gw = jax.value_and_grad(loss_of_weights)(params.weights)
+    updates, opt_state = optimizer.update(gw, opt_state, params.weights)
+    params = params._replace(
+        weights=optax.apply_updates(params.weights, updates)
     )
-    # normalization stats are constants, not trained
-    grads = grads._replace(
-        norm_mean=jnp.zeros_like(grads.norm_mean),
-        norm_std=jnp.zeros_like(grads.norm_std),
-    )
-    updates, opt_state = optimizer.update(grads, opt_state, params)
-    params = optax.apply_updates(params, updates)
     return params, opt_state, loss
 
 
@@ -214,7 +244,21 @@ class Ranker:
         return _score_jit(self.params, feats.astype(jnp.float32))
 
     def predict(self, feats: np.ndarray, batch: int = 1 << 16) -> np.ndarray:
+        if self.params.src_idx is not None:
+            raise ValueError(
+                "group-context ranker scores listwise; use predict_grouped"
+                " with [n_groups, group, F] input"
+            )
         out = np.empty(feats.shape[0], np.float32)
+        for i in range(0, feats.shape[0], batch):
+            out[i : i + batch] = np.asarray(
+                score(self.params, jnp.asarray(feats[i : i + batch], jnp.float32))
+            )
+        return out
+
+    def predict_grouped(self, feats: np.ndarray, batch: int = 1 << 12) -> np.ndarray:
+        """[n_groups, G, F] -> [n_groups, G] scores (host driver)."""
+        out = np.empty(feats.shape[:2], np.float32)
         for i in range(0, feats.shape[0], batch):
             out[i : i + batch] = np.asarray(
                 score(self.params, jnp.asarray(feats[i : i + batch], jnp.float32))
@@ -225,6 +269,8 @@ class Ranker:
         flat = {"norm_mean": np.asarray(self.params.norm_mean),
                 "norm_std": np.asarray(self.params.norm_std),
                 "feature_names": np.array(self.feature_names)}
+        if self.params.src_idx is not None:
+            flat["src_idx"] = np.asarray(self.params.src_idx)
         for i, (w, b) in enumerate(self.params.weights):
             flat[f"w{i}"] = np.asarray(w)
             flat[f"b{i}"] = np.asarray(b)
@@ -239,7 +285,8 @@ class Ranker:
             for i in range(n_layers)
         )
         params = RankerParams(
-            jnp.asarray(z["norm_mean"]), jnp.asarray(z["norm_std"]), weights
+            jnp.asarray(z["norm_mean"]), jnp.asarray(z["norm_std"]), weights,
+            jnp.asarray(z["src_idx"]) if "src_idx" in z.files else None,
         )
         return Ranker(cfg, params, tuple(z["feature_names"].tolist()))
 
@@ -261,7 +308,15 @@ def train_ranker(
     every 25 iters reference: config.py:223-227)."""
     feats = np.asarray(feats, np.float32)
     mean, std = compute_norm_stats(feats[: 1 << 20])
-    params = init_ranker(feats.shape[1], cfg, mean, std)
+    src_idx = None
+    if getattr(cfg, "group_context", True):
+        src_idx = np.asarray(
+            [i for i, n in enumerate(feature_names) if n.startswith("src_")],
+            np.int32,
+        )
+        if len(src_idx) == 0:
+            src_idx = None
+    params = init_ranker(feats.shape[1], cfg, mean, std, src_idx=src_idx)
 
     fg, lg, mg = _group_pad(feats, labels, group_sessions, cfg.max_group)
     n_groups = fg.shape[0]
@@ -281,7 +336,7 @@ def train_ranker(
         end_value=cfg.learning_rate * getattr(cfg, "end_lr_frac", 0.05),
     )
     optimizer = optax.adamw(schedule, weight_decay=cfg.weight_decay)
-    opt_state = optimizer.init(params)
+    opt_state = optimizer.init(params.weights)
 
     vpack = None
     if valid is not None:
@@ -317,7 +372,7 @@ def train_ranker(
         if vpack is not None:
             vfg, vlg, vmg, Fv = vpack
             r = Ranker(cfg, params, feature_names)
-            vscores = r.predict(vfg.reshape(-1, Fv)).reshape(vfg.shape[:2])
+            vscores = r.predict_grouped(vfg)
             vndcg = ndcg_at_k(vscores, vlg, vmg, cfg.eval_at)
             msg += f" valid ndcg@{cfg.eval_at}={vndcg:.5f}"
             if vndcg > best_ndcg:

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import os
 from functools import partial
 from typing import Iterator, NamedTuple, Optional, Tuple
 
@@ -142,7 +143,11 @@ sgns_step_ref = sgns_step
 # across the whole batch): per-pair scatters dominated the step cost, while
 # batch-global sharing correlated the updates enough to hurt embedding
 # quality at small scale. Each chunk draws n_negs * _SHARED_NEG_FACTOR ids.
-_NEG_CHUNK = 64
+# 256 (vs the original 64): the step is bound by scattered ROW count
+# (~43 ms per 131k-row scatter-add on [1.7M, 100], measured 2026-08-21);
+# quartering the negative-pool rows cut step time ~30% with no measurable
+# recall change on the 20k synthetic eval.
+_NEG_CHUNK = 256
 _SHARED_NEG_FACTOR = 8
 
 
@@ -465,6 +470,90 @@ def sgns_epoch_device(
 
 
 # ---------------------------------------------------------------------------
+# Fused-accumulator chunk step: tables stored as [V, D+1] with the Adagrad
+# accumulator in the last column. The chunk step is bound by scattered-row
+# COUNT (random-row RMW latency on HBM: a 131k-row scatter-add on
+# [1.7M, 100] costs ~43 ms while the same gather is ~7 ms, measured
+# 2026-08-21); carrying (update, gsq) in ONE row per table halves both the
+# scatters (4 -> 2) and the gathers (4 -> 2) per step vs the unfused
+# SGNSParams layout. Math is bit-identical to the unfused chunk step.
+# ---------------------------------------------------------------------------
+
+
+def _sgns_step_body_chunk_fused(
+    tab_in, tab_out,           # [V, D+1] (emb ++ acc column)
+    words, cum_len, neg_cdf, keep_prob, lr,
+    batch: int, window: int, n_negs: int, key,
+):
+    D = tab_in.shape[1] - 1
+    c_safe, x_safe, valid, k6 = _sample_pair_batch(
+        words, cum_len, keep_prob, batch, window, key
+    )
+    un = jax.random.uniform(k6, (max(1, batch // min(_NEG_CHUNK, batch)),
+                                 n_negs * _SHARED_NEG_FACTOR))
+    negs_f = jnp.searchsorted(neg_cdf, un).astype(jnp.int32).reshape(-1)
+
+    ids_out = jnp.concatenate([x_safe, negs_f])
+    rows_out_f = tab_out[ids_out]             # [M, D+1]
+    c_f = tab_in[c_safe]                      # [B, D+1]
+    c, acc_c = c_f[:, :D], c_f[:, D]
+    rows_out, acc_out = rows_out_f[:, :D], rows_out_f[:, D]
+    g_c, g_out, loss, n_valid = _chunk_neg_grads(
+        c, rows_out, valid, batch, n_negs
+    )
+
+    gsq_c = jnp.mean(g_c**2, axis=1)
+    gsq_out = jnp.mean(g_out**2, axis=1)
+    scale_c = lr * jax.lax.rsqrt(acc_c + gsq_c + 1e-8)
+    scale_out = lr * jax.lax.rsqrt(acc_out + gsq_out + 1e-8)
+    upd_in = jnp.concatenate(
+        [-scale_c[:, None] * g_c, gsq_c[:, None]], axis=1
+    )
+    upd_out = jnp.concatenate(
+        [-scale_out[:, None] * g_out, gsq_out[:, None]], axis=1
+    )
+    tab_in = tab_in.at[c_safe].add(upd_in)
+    tab_out = tab_out.at[ids_out].add(upd_out)
+    return tab_in, tab_out, loss / n_valid.astype(jnp.float32)
+
+
+@partial(jax.jit, static_argnums=(7, 8, 9, 10))
+def sgns_epoch_device_fused(
+    tab_in, tab_out, words, cum_len, neg_cdf, keep_prob, lr,
+    batch: int, window: int, n_negs: int, n_steps: int, key,
+):
+    """n_steps fused-accumulator chunk steps in one dispatch."""
+
+    def body(i, carry):
+        ti, to, _ = carry
+        sub = jax.random.fold_in(key, i)
+        return _sgns_step_body_chunk_fused(
+            ti, to, words, cum_len, neg_cdf, keep_prob, lr,
+            batch, window, n_negs, sub,
+        )
+
+    return lax.fori_loop(
+        0, n_steps, body, (tab_in, tab_out, jnp.float32(0.0))
+    )
+
+
+def fuse_params(p: SGNSParams):
+    """SGNSParams -> ([V, D+1] tab_in, tab_out) with acc as the last col."""
+    return (
+        jnp.concatenate([p.emb_in, p.acc_in[:, None]], axis=1),
+        jnp.concatenate([p.emb_out, p.acc_out[:, None]], axis=1),
+    )
+
+
+def unfuse_params(tab_in, tab_out) -> SGNSParams:
+    D = tab_in.shape[1] - 1
+    return SGNSParams(
+        emb_in=tab_in[:, :D], emb_out=tab_out[:, :D],
+        acc_in=tab_in[:, D], acc_out=tab_out[:, D],
+    )
+
+
+# ---------------------------------------------------------------------------
 # Model-parallel SGNS: the 1.8M-row embedding tables are the pipeline's one
 # genuine model-parallel axis (SURVEY.md §2.2; reference hot loop:
 # model/w2vec_aids.py:56-70 runs 16 hogwild threads over one shared table).
@@ -714,6 +803,17 @@ def train_word2vec_device(
         epoch_mp = make_sgns_epoch_mp(
             mesh_ctx, cfg.batch_size, cfg.window, cfg.negatives, chunk
         )
+    # fused-accumulator layout: MEASURED NEGATIVE on the v5e (154.8 vs
+    # 113.8 ms/step at V=1.73M, 2026-08-21) — halving the scatter COUNT
+    # did not beat the extra concat/slice traffic of [V, D+1] rows. Kept
+    # behind an env flag as recorded evidence (cf. ops/pallas/dma_gather).
+    fused = (
+        (not mp) and neg_mode == "chunk"
+        and os.environ.get("OTTO_W2V_FUSED", "0") == "1"
+    )
+    if fused:
+        tab_in, tab_out = fuse_params(params)
+        params = None
     for epoch in range(start_epoch, cfg.epochs):
         key, sub = jax.random.split(key)
         # epoch = a host loop of fixed-size fused dispatches: one dispatch
@@ -731,6 +831,12 @@ def train_word2vec_device(
                     params, words_d, cum_d, neg_cdf, keep_prob_d,
                     jnp.float32(cfg.learning_rate), sub_c,
                 )
+            elif fused:
+                tab_in, tab_out, loss = sgns_epoch_device_fused(
+                    tab_in, tab_out, words_d, cum_d, neg_cdf, keep_prob_d,
+                    jnp.float32(cfg.learning_rate),
+                    cfg.batch_size, cfg.window, cfg.negatives, chunk, sub_c,
+                )
             else:
                 params, loss = sgns_epoch_device(
                     params, words_d, cum_d, neg_cdf, keep_prob_d,
@@ -743,9 +849,16 @@ def train_word2vec_device(
         if checkpoint_path is not None:
             from otto_tpu.utils.checkpoint import save_checkpoint
 
-            save_checkpoint(checkpoint_path, (params, key), epoch + 1)
+            save_checkpoint(
+                checkpoint_path,
+                ((unfuse_params(tab_in, tab_out) if fused else params), key),
+                epoch + 1,
+            )
 
-    emb = np.asarray(params.emb_in)[:V, : cfg.vector_size]
+    if fused:
+        emb = np.asarray(tab_in[:, : cfg.vector_size])
+    else:
+        emb = np.asarray(params.emb_in)[:V, : cfg.vector_size]
     return Word2Vec(cfg, vocab, emb)
 
 

@@ -480,19 +480,43 @@ class CoVisCounter:
                 )
         return out
 
-    def retrieval_tables(self, n_aids: int) -> Dict[str, CoVisTables]:
+    def retrieval_tables(
+        self, n_aids: int, device_topn_max_rows: int = 1 << 26
+    ) -> Dict[str, CoVisTables]:
         final = self.finalize()
         out = {}
         for name in self.cfg.names:
             first_n = self.cfg.retrieval_first_n[name]
             t = final[name]
             if self.spill:
-                out[name] = CoVisTables(*(
-                    jnp.asarray(a) for a in counts_ops.host_topn_tables(
-                        np.asarray(t.aid), np.asarray(t.aid_next),
-                        np.asarray(t.count), n_aids, first_n,
+                n = int(t.n)
+                if 0 < n <= device_topn_max_rows:
+                    # push the pruned host table back to the device and
+                    # build dense tables there: the per-type host lexsorts
+                    # were minutes of the reference-scale covis tail, the
+                    # device sort is sub-second (pad to pow2 => few shapes)
+                    size = max(1024, 1 << (n - 1).bit_length())
+                    pad = size - n
+
+                    def _pad(x, fill):
+                        return jnp.asarray(np.pad(
+                            np.asarray(x), (0, pad), constant_values=fill
+                        ))
+
+                    td = CountTable(
+                        _pad(t.aid, int(seg.SENTINEL)),
+                        _pad(t.aid_next, int(seg.SENTINEL)),
+                        _pad(t.count, 0),
+                        jnp.int32(n),
                     )
-                ))
+                    out[name] = build_retrieval_tables(td, n_aids, first_n)
+                else:
+                    out[name] = CoVisTables(*(
+                        jnp.asarray(a) for a in counts_ops.host_topn_tables(
+                            np.asarray(t.aid), np.asarray(t.aid_next),
+                            np.asarray(t.count), n_aids, first_n,
+                        )
+                    ))
             else:
                 out[name] = build_retrieval_tables(t, n_aids, first_n)
         return out

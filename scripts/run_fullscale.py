@@ -83,14 +83,29 @@ def main() -> int:
     spec = SyntheticSpec(n_sessions=n_sessions, n_aids=n_aids,
                          mean_len=mean_len, max_len=max_len,
                          span_days=28, seed=7)
+    # events cache: restarts of a multi-hour run must not pay the ~15-min
+    # generation again (and bit-identical data keeps every downstream
+    # artifact cache coherent — recompiled generators are not bit-stable
+    # across launches, measured 0.15% event drift run-to-run)
+    data_cache = os.path.join(work_dir, "events.npz")
+    os.makedirs(work_dir, exist_ok=True)
+    if os.path.exists(data_cache):
+        from otto_tpu.data.schema import Events
+
+        z = np.load(data_cache)
+        ev = Events(z["session"], z["aid"], z["ts"], z["type"])
+        record["generator"] = "cache"
     # device generation by default: the host NumPy walk costs ~20 min at
     # this scale on the 2-core box, the on-chip lax.scan walk seconds
-    if os.environ.get("OTTO_FS_GEN", "device") == "device":
+    elif os.environ.get("OTTO_FS_GEN", "device") == "device":
         ev = generate_device(spec)
         record["generator"] = "device"
     else:
         ev = generate(spec)
         record["generator"] = "host"
+    if record["generator"] != "cache":
+        np.savez(data_cache, session=ev.session, aid=ev.aid, ts=ev.ts,
+                 type=ev.type)
     record["n_events"] = int(len(ev))
     record["stages"].append({"stage": "generate",
                              "elapsed_s": round(time.time() - t0, 1)})

@@ -337,14 +337,22 @@ def _reduce_identity(dtype, red: str):
 def _pallas_segscan_mode() -> str:
     """'on' | 'off' | 'interpret' — whether rowwise_groupby_scan's stacked
     scans route through the single-pass Pallas segmented-scan kernel
-    (ops/pallas/segscan.py: ~2 HBM passes vs ~13 for the Hillis-Steele
-    roll+select network at retrieval's grid widths). Auto: on for TPU."""
+    (ops/pallas/segscan.py). Auto: OFF everywhere — a measured negative
+    result (see ARCHITECTURE.md "Pallas segmented scan"): on the real
+    v5e chip the kernel is break-even in isolation at retrieval shapes
+    (398.9 ms vs 376.5 ms XLA at [6,256,3968], scripts/
+    validate_segscan_tpu.py) and a 36% END-TO-END regression inside the
+    fused retrieval program (bench.py A/B: 8403.9 sessions/s off vs
+    5408.9 on) because routing through the kernel breaks XLA's fusion of
+    the surrounding elementwise work into the scan network. Opt back in
+    explicitly with OTTO_PALLAS_SEGSCAN=on only after a same-hardware
+    end-to-end measurement shows a win."""
     import os
 
     v = os.environ.get("OTTO_PALLAS_SEGSCAN", "auto")
     if v in ("on", "off", "interpret"):
         return v
-    return "on" if jax.default_backend() == "tpu" else "off"
+    return "off"
 
 
 def _pallas_gather_mode() -> str:

@@ -9,7 +9,8 @@ def test_entry_jittable():
 
     fn, args = g.entry()
     out = jax.jit(fn)(*args)
-    assert out.shape[0] == args[1].shape[0]
+    # GBDT scorer: [M, F] features -> [M] scores
+    assert out.shape == (args[0].shape[0],)
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")

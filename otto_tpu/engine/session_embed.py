@@ -81,7 +81,22 @@ def compute_session_embeddings(
             session_embedding_batch,
             in_shardings=(sh, sh, sh, repl), out_shardings=sh,
         )
+    from otto_tpu.utils.transfer import fast_pull
+
     sids, embs = [], []
+    pending = None  # (kept session ids, device embedding handle)
+
+    def collect(item):
+        sess_keep, e, keep = item
+        sids.append(sess_keep)
+        embs.append(fast_pull(e)[keep])
+
+    # one-batch double buffer (round 4, VERDICT r3 item 7): batch N's
+    # device->host pull happens after batch N+1's upload + compute are
+    # already enqueued (copy_to_host_async at dispatch time), so the
+    # tunnel transfer overlaps device work instead of serializing with it
+    # — the stage ran at reference-CPU parity purely on per-batch
+    # round-trips (821.2 s vs ~720 s, model/kmeans_sessions.py:99-100).
     for p in padded_batches:
         L = p.aid.shape[1]
         rows = max(8, 1 << (max(1, lane_budget // L).bit_length() - 1))
@@ -91,11 +106,16 @@ def compute_session_embeddings(
                 jnp.asarray(mb.aid), jnp.asarray(mb.ts), jnp.asarray(mb.type),
                 table,
             )
+            try:
+                e.copy_to_host_async()
+            except (AttributeError, NotImplementedError):
+                pass
             keep = mb.session >= 0
-            sids.append(mb.session[keep])
-            from otto_tpu.utils.transfer import fast_pull
-
-            embs.append(fast_pull(e)[keep])
+            if pending is not None:
+                collect(pending)
+            pending = (mb.session[keep], e, keep)
+    if pending is not None:
+        collect(pending)
     session = np.concatenate(sids)
     emb = np.concatenate(embs)
     order = np.argsort(session)

@@ -13,14 +13,15 @@ from typing import Dict, List, Sequence
 import numpy as np
 
 from otto_tpu.data.schema import Labels
-from otto_tpu.engine.retrieval import FEATURE_INDEX, RetrievedBatch
+from otto_tpu.engine.retrieval import (
+    FEATURE_INDEX,
+    SOURCE_FLAGS,
+    RetrievedBatch,
+)
 from otto_tpu.eval.recall import recall_at_k
 
-SOURCES = (
-    "src_any", "src_self", "src_click_to_click", "src_click_to_cart_or_buy",
-    "src_cart_to_cart", "src_cart_to_buy", "src_buy_to_buy", "src_w2vec_all",
-    "src_w2vec_1_2", "src_pop_cl50",
-)
+# bit order matches RetrievedBatch.pack_meta's packed flag pull
+SOURCES = SOURCE_FLAGS
 
 
 class SrcFlagBatch:

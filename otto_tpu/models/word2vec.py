@@ -233,6 +233,226 @@ def _chunk_neg_grads(c, rows_out, valid, batch: int, n_negs: int):
     return g_c, g_out, loss, n_valid
 
 
+# ---------------------------------------------------------------------------
+# Block-sampled SGNS step (production fast path, round 4).
+#
+# Same stochastic objective as the chunk step, reorganized around the v5e's
+# measured primitive costs (scripts/profile_sgns_ops.py, 2026-08-21:
+# random-row gather [131k, 100] 6.5 ms; scatter-add 18.4 ms; searchsorted
+# [131k] in [1.7M] 24.8 ms):
+#   1. POSITION MAP, not binary search: the per-position (offset-in-session,
+#      session-length) pair is precomputed host-side and packed into ONE
+#      int32 (`pack_position_info`), so locating a sampled corpus position
+#      costs one random gather instead of a 24-probe searchsorted over
+#      cum_len plus two more gathers.
+#   2. ALIAS sampling, not CDF search: negatives draw via the Walker alias
+#      method (two gathers + select) instead of searchsorted over the
+#      unigram^0.75 CDF.
+#   3. CENTER BLOCKS: each sampled center emits `k` context pairs (gensim's
+#      sweep emits up to 2*window pairs per position, reference:
+#      model/w2vec_aids.py:63); the center row is gathered once, its k pair
+#      gradients accumulate in registers, and the emb_in scatter shrinks to
+#      B/k rows — scatter-add rows are the step's scarcest resource.
+# ---------------------------------------------------------------------------
+
+
+def pack_position_info(cum: np.ndarray) -> np.ndarray:
+    """cum_len [S+1] -> packed [N] int32: (pos_in_session << 16) | length.
+    Sessions cap at 465 events (reference: README.md:18), far under the
+    16-bit fields. One device gather of this array replaces the
+    searchsorted(cum_len) session lookup in the sampling hot path."""
+    lens = np.diff(cum).astype(np.int64)
+    n = int(cum[-1])
+    pos_in = np.arange(n, dtype=np.int64) - np.repeat(cum[:-1].astype(np.int64), lens)
+    slen = np.repeat(np.minimum(lens, 0xFFFF), lens)
+    return ((pos_in << 16) | slen).astype(np.int32)
+
+
+def make_alias(counts: np.ndarray, ns_exponent: float = 0.75):
+    """Walker alias tables for the unigram^ns_exponent negative
+    distribution: (prob [V] f32, alias [V] i32). Vose's O(V) construction
+    on host; sampling is j ~ U{0..V-1}, u ~ U[0,1): u < prob[j] ? j :
+    alias[j] — two gathers, no log(V) search."""
+    p = np.asarray(counts, np.float64) ** ns_exponent
+    p = p / p.sum()
+    V = len(p)
+    scaled = p * V
+    alias = np.zeros(V, np.int32)
+    prob = np.ones(V, np.float32)
+    small = [i for i in range(V) if scaled[i] < 1.0]
+    large = [i for i in range(V) if scaled[i] >= 1.0]
+    while small and large:
+        s, l = small.pop(), large.pop()
+        prob[s] = scaled[s]
+        alias[s] = l
+        scaled[l] = scaled[l] - (1.0 - scaled[s])
+        (small if scaled[l] < 1.0 else large).append(l)
+    return prob, alias
+
+
+def _alias_draw(prob, alias, n: int, key):
+    ka, kb = jax.random.split(key)
+    j = jax.random.randint(ka, (n,), 0, prob.shape[0])
+    u = jax.random.uniform(kb, (n,))
+    return jnp.where(u < prob[j], j, alias[j]).astype(jnp.int32)
+
+
+def _sample_center_block(words, pos_info, keep_prob, C: int, k: int,
+                         window: int, key):
+    """Sample C centers x k dynamic-window contexts over the flat corpus.
+    Returns (c_safe [C], x_safe [C*k], valid [C*k], neg_key)."""
+    N = words.shape[0]
+    k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
+
+    flat = jax.random.randint(k1, (C,), 0, N)
+    info = pos_info[flat]
+    pos = info >> 16
+    slen = info & 0xFFFF
+    center = words[flat]
+
+    # gensim's reduced window: b ~ U{1..window} per CENTER, offsets U{±1..b}
+    b = jax.random.randint(k2, (C,), 1, window + 1)
+    off = jax.random.randint(k3, (C, k), 0, window) % b[:, None] + 1
+    sign = jnp.where(jax.random.bernoulli(k4, 0.5, (C, k)), 1, -1)
+    ctx_pos = pos[:, None] + sign * off
+    in_bounds = (ctx_pos >= 0) & (ctx_pos < slen[:, None])
+    base = flat - pos
+    ctx_idx = base[:, None] + jnp.clip(
+        ctx_pos, 0, jnp.maximum(slen - 1, 0)[:, None]
+    )
+    context = words[jnp.clip(ctx_idx.reshape(-1), 0, N - 1)]
+
+    su = jax.random.uniform(k5, (C, k + 1))
+    c_safe = jnp.clip(center, 0, None)
+    x_safe = jnp.clip(context, 0, None)
+    keep_c = su[:, 0] < keep_prob[c_safe]
+    keep_x = (su[:, 1:].reshape(-1) < keep_prob[x_safe])
+    valid = (
+        in_bounds.reshape(-1)
+        & jnp.repeat(keep_c, k, total_repeat_length=C * k)
+        & keep_x
+        & (jnp.repeat(center, k, total_repeat_length=C * k) >= 0)
+        & (context >= 0)
+    )
+    return c_safe, x_safe, valid, k6
+
+
+def _block_neg_grads(c, pv, negs_rows, valid, n_negs: int):
+    """Center-block SGNS gradients. c [C, D] center rows; pv [C, k, D]
+    context rows; negs_rows [Nc, Ks, D] shared negative pool (chunks of
+    C/Nc centers); valid [C, k]. Negative gradients weight by the center's
+    VALID pair count so the positive:negative balance matches per-pair
+    SGNS with n_negs draws. Returns (g_c [C, D], g_pv [C, k, D],
+    g_n [Nc, Ks, D], loss, n_valid)."""
+    C, k, D = pv.shape
+    Nc, Ks, _ = negs_rows.shape
+    Bc = C // Nc
+    vf = valid.astype(jnp.float32)                      # [C, k]
+
+    pos_logit = jnp.einsum("cd,ckd->ck", c, pv)
+    d_pos = (jax.nn.sigmoid(pos_logit) - 1.0) * vf      # [C, k]
+    g_pv = d_pos[:, :, None] * c[:, None, :]            # [C, k, D]
+
+    cc = c.reshape(Nc, Bc, D)
+    neg_logit = jnp.einsum("nbd,nkd->nbk", cc, negs_rows)   # [Nc, Bc, Ks]
+    w_center = vf.sum(axis=1).reshape(Nc, Bc) * (
+        jnp.float32(n_negs) / jnp.float32(Ks)
+    )
+    d_neg = jax.nn.sigmoid(neg_logit) * w_center[:, :, None]
+    g_c = (d_pos[:, :, None] * pv).sum(axis=1) + jnp.einsum(
+        "nbk,nkd->nbd", d_neg, negs_rows
+    ).reshape(C, D)
+    g_n = jnp.einsum("nbk,nbd->nkd", d_neg, cc)             # [Nc, Ks, D]
+
+    # loss bookkeeping mirrors the chunk step: positive term per valid
+    # pair + pool-averaged negative term counted once per valid pair
+    # (w_center already folds n_valid(center) * n_negs / Ks)
+    per_center_neg = -jnp.einsum(
+        "nbk->nb", jax.nn.log_sigmoid(-neg_logit)
+    ).reshape(C) * w_center.reshape(C)
+    loss = jnp.sum(-jax.nn.log_sigmoid(pos_logit) * vf) + jnp.sum(
+        per_center_neg
+    )
+    n_valid = jnp.maximum(jnp.sum(valid), 1)
+    return g_c, g_pv, g_n, loss, n_valid
+
+
+def _sgns_step_body_block(
+    params: SGNSParams,
+    words, pos_info, neg_prob, neg_alias, keep_prob, lr,
+    n_centers: int, block_k: int, window: int, n_negs: int, key,
+    optimizer: str = "adagrad",
+) -> Tuple[SGNSParams, jnp.ndarray]:
+    C, k = n_centers, block_k
+    B = C * k
+    D = params.emb_in.shape[1]
+    c_safe, x_safe, valid, k6 = _sample_center_block(
+        words, pos_info, keep_prob, C, k, window, key
+    )
+    # negative pool shared per chunk of ~_NEG_CHUNK pairs, in whole centers
+    cpc = max(1, _NEG_CHUNK // k)            # centers per chunk
+    Nc = max(1, C // cpc)                    # trainer rounds C to cpc
+    Ks = n_negs * _SHARED_NEG_FACTOR
+    negs_f = _alias_draw(neg_prob, neg_alias, Nc * Ks, k6)
+
+    ids_out = jnp.concatenate([x_safe, negs_f])
+    rows_out = params.emb_out[ids_out]                  # [B + Nc*Ks, D]
+    c = params.emb_in[c_safe]                           # [C, D]
+    g_c, g_pv, g_n, loss, n_valid = _block_neg_grads(
+        c, rows_out[:B].reshape(C, k, D), rows_out[B:].reshape(Nc, Ks, D),
+        valid.reshape(C, k), n_negs,
+    )
+    g_out = jnp.concatenate([g_pv.reshape(B, D), g_n.reshape(-1, D)])
+
+    if optimizer == "sgd":
+        # gensim-parity plain SGD (linear lr decay is the CALLER's job via
+        # the traced lr argument, reference: gensim alpha->min_alpha sweep
+        # in model/w2vec_aids.py:63 defaults). Skips all 4 accumulator
+        # gathers/scatters — measurably cheaper per step.
+        new = SGNSParams(
+            emb_in=params.emb_in.at[c_safe].add(-lr * g_c),
+            emb_out=params.emb_out.at[ids_out].add(-lr * g_out),
+            acc_in=params.acc_in,
+            acc_out=params.acc_out,
+        )
+        return new, loss / n_valid.astype(jnp.float32)
+
+    # per-row Adagrad with pre-update accumulators (same batched-hogwild
+    # staleness semantics as the chunk step)
+    gsq_c = jnp.mean(g_c ** 2, axis=1)
+    gsq_out = jnp.mean(g_out ** 2, axis=1)
+    scale_c = lr * jax.lax.rsqrt(params.acc_in[c_safe] + gsq_c + 1e-8)
+    scale_out = lr * jax.lax.rsqrt(params.acc_out[ids_out] + gsq_out + 1e-8)
+    new = SGNSParams(
+        emb_in=params.emb_in.at[c_safe].add(-scale_c[:, None] * g_c),
+        emb_out=params.emb_out.at[ids_out].add(-scale_out[:, None] * g_out),
+        acc_in=params.acc_in.at[c_safe].add(gsq_c),
+        acc_out=params.acc_out.at[ids_out].add(gsq_out),
+    )
+    return new, loss / n_valid.astype(jnp.float32)
+
+
+@partial(jax.jit, static_argnums=(7, 8, 9, 10, 11, 13))
+def sgns_epoch_device_block(
+    params, words, pos_info, neg_prob, neg_alias, keep_prob, lr,
+    n_centers: int, block_k: int, window: int, n_negs: int, n_steps: int,
+    key, optimizer: str = "adagrad",
+):
+    """n_steps block-sampled steps in one dispatch (cf. sgns_epoch_device)."""
+
+    def body(i, carry):
+        p, _ = carry
+        sub = jax.random.fold_in(key, i)
+        return _sgns_step_body_block(
+            p, words, pos_info, neg_prob, neg_alias, keep_prob, lr,
+            n_centers, block_k, window, n_negs, sub, optimizer,
+        )
+
+    return lax.fori_loop(
+        0, n_steps, body, (params, jnp.float32(0.0))
+    )
+
+
 def _sgns_step_body(
     params: SGNSParams,
     words: jnp.ndarray,      # [N] int32 word ids, FLAT ragged corpus
@@ -731,6 +951,8 @@ def train_word2vec_device(
     cum_d = jnp.asarray(cum.astype(np.int32))
     key = jax.random.PRNGKey(cfg.seed)
 
+    block_k = int(getattr(cfg, "block_k", 0) or 0)
+
     total_positions = int(lens.sum())
     steps_per_epoch = max(
         1, total_positions * cfg.window // cfg.batch_size
@@ -814,6 +1036,28 @@ def train_word2vec_device(
     if fused:
         tab_in, tab_out = fuse_params(params)
         params = None
+
+    # block sampler (round 4 fast path): single-device chunk mode only —
+    # MP keeps the per-pair sampler, and pair mode's dense grads make the
+    # block layout pointless. batch_size stays the PAIRS-per-step knob.
+    block = (
+        (not mp) and (not fused) and neg_mode == "chunk" and block_k > 1
+        and os.environ.get("OTTO_W2V_BLOCK", "1") != "0"
+    )
+    opt = str(getattr(cfg, "optimizer", "adagrad"))
+    # round centers up to a whole number of negative-pool chunks so the
+    # step's [Nc, centers-per-chunk] blocking always divides exactly
+    _cpc = max(1, _NEG_CHUNK // max(block_k, 1))
+    n_centers = -(-max(1, cfg.batch_size // max(block_k, 1)) // _cpc) * _cpc
+    if block:
+        neg_prob_np, neg_alias_np = make_alias(vocab.counts, cfg.ns_exponent)
+        neg_prob_d = jnp.asarray(neg_prob_np)
+        neg_alias_d = jnp.asarray(neg_alias_np)
+        pos_info_d = jnp.asarray(pack_position_info(cum))
+        log.info(
+            "w2v[device] %s: block sampler on (%d centers x k=%d)",
+            cfg.name, n_centers, block_k,
+        )
     for epoch in range(start_epoch, cfg.epochs):
         key, sub = jax.random.split(key)
         # epoch = a host loop of fixed-size fused dispatches: one dispatch
@@ -836,6 +1080,23 @@ def train_word2vec_device(
                     tab_in, tab_out, words_d, cum_d, neg_cdf, keep_prob_d,
                     jnp.float32(cfg.learning_rate),
                     cfg.batch_size, cfg.window, cfg.negatives, chunk, sub_c,
+                )
+            elif block:
+                if opt == "sgd":
+                    # gensim's linear alpha -> min_alpha sweep across the
+                    # whole training run (all epochs)
+                    done = (epoch - start_epoch) * n_chunks + c
+                    total = max(1, (cfg.epochs - start_epoch) * n_chunks)
+                    a0 = float(getattr(cfg, "sgd_alpha", 0.025))
+                    a1 = float(getattr(cfg, "sgd_min_alpha", 1e-4))
+                    lr_t = jnp.float32(a0 + (a1 - a0) * (done / total))
+                else:
+                    lr_t = jnp.float32(cfg.learning_rate)
+                params, loss = sgns_epoch_device_block(
+                    params, words_d, pos_info_d, neg_prob_d, neg_alias_d,
+                    keep_prob_d, lr_t,
+                    n_centers, block_k, cfg.window, cfg.negatives, chunk,
+                    sub_c, opt,
                 )
             else:
                 params, loss = sgns_epoch_device(

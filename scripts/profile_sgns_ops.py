@@ -23,14 +23,19 @@ u = jnp.asarray(rng.random((N // 8, 8)).astype(np.float32))
 cdf = jnp.asarray(np.linspace(0, 1, V).astype(np.float32))
 
 
+# dependent-SCALAR sync: a full np.asarray(out) would pull the whole array
+# through the tunnel (~2.3 s for a [V, D] table at ~0.3 GB/s) and swamp the
+# op being measured; reduce on device, fetch 4 bytes.
+_checksum = jax.jit(lambda x: x.reshape(-1)[:: max(1, x.size // 256)].sum())
+
+
 def bench(label, fn, *args, reps=8):
     out = fn(*args)
-    jax.tree.map(lambda x: x.block_until_ready(), out)
-    _ = float(np.asarray(jax.tree.leaves(out)[0]).reshape(-1)[-1])
+    _ = float(np.asarray(_checksum(jax.tree.leaves(out)[0])))
     t = time.time()
     for _ in range(reps):
         out = fn(*args)
-    _ = float(np.asarray(jax.tree.leaves(out)[0]).reshape(-1)[-1])
+    _ = float(np.asarray(_checksum(jax.tree.leaves(out)[0])))
     dt = (time.time() - t) / reps
     print(f"{label:34s} {dt*1e3:8.2f} ms", flush=True)
 

@@ -60,7 +60,9 @@ def main() -> int:
     mean_len = float(os.environ.get("OTTO_FS_MEANLEN", 13.4))
     max_len = int(os.environ.get("OTTO_FS_MAXLEN", 128))
     work_dir = os.environ.get("OTTO_FS_WORKDIR", "/tmp/fullscale")
-    batch = int(os.environ.get("OTTO_FS_BATCH", 512))
+    # 2048-session batches: streaming pass throughput is round-trip-bound
+    # (ARCHITECTURE.md lesson 20), so batch size sets sessions/s
+    batch = int(os.environ.get("OTTO_FS_BATCH", 2048))
     out_path = os.environ.get("OTTO_FS_OUT", "RUN_FULLSCALE.json")
     setup_logging(work_dir, logging.INFO)
 

@@ -129,7 +129,10 @@ def test_sgns_model_parallel_matches_single():
     cfg = Word2VecConfig(
         name="t", types=(0, 1, 2), vector_size=16, window=4, min_count=1,
         epochs=1, batch_size=512, steps_per_dispatch=4,
-        neg_sharing="chunk", knn_k=5, subsample_t=0,
+        # block_k=0: MP keeps the legacy per-pair sampler, so bit-parity
+        # with single-device requires the legacy sampler there too (the
+        # block sampler draws a different index stream by design)
+        neg_sharing="chunk", knn_k=5, subsample_t=0, block_k=0,
     )
     m_single = train_word2vec_device(ev, cfg)
     ctx = make_mesh(jax.devices()[:4], data_parallel=1, model_parallel=4)

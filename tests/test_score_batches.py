@@ -1,0 +1,92 @@
+"""Batch scoring + packed meta pull over keep-filtered (padded-tail)
+batches (round 4).
+
+Batch contract (engine.retrieval.iter_run): `feats` arrive KEEP-FILTERED
+to the real sessions ([n_keep, C, F]); `cand`/`ts_order` are handed over
+as FULL [S, C] device arrays with `keep` recording the real-row indices
+(cand_device() / the lazy host pull apply it). These tests pin that
+contract for the device scorer, the stacked multi-target scorer, and the
+single-pull pack_meta/unpack_meta pair the streaming passes rely on.
+"""
+import numpy as np
+import jax.numpy as jnp
+
+from otto_tpu.config import GBDTConfig
+from otto_tpu.engine import rank as rank_engine
+from otto_tpu.engine.retrieval import (
+    FEATURE_INDEX,
+    SOURCE_FLAGS,
+    RetrievedBatch,
+)
+from otto_tpu.models.gbdt import GBDTRanker
+
+S, C, K = 8, 6, 3
+F = len(FEATURE_INDEX)
+
+
+def tiny_ranker(seed=0):
+    rng = np.random.default_rng(seed)
+    cfg = GBDTConfig(n_trees=2, max_depth=2, n_bins=8)
+    return GBDTRanker(
+        cfg=cfg,
+        edges=np.sort(rng.normal(size=(F, 7)), axis=1).astype(np.float32),
+        gfeat=rng.integers(0, F, (2, 2, 2)).astype(np.int32),
+        thr=rng.integers(1, 8, (2, 2, 2)).astype(np.int32),
+        leaf=rng.normal(size=(2, 4)).astype(np.float32),
+        feature_names=tuple(sorted(FEATURE_INDEX)),
+    )
+
+
+def padded_batch(n_keep, feats_np=None, cand_np=None):
+    """iter_run-contract batch: feats keep-filtered, cand full + keep."""
+    rng = np.random.default_rng(1)
+    if feats_np is None:
+        feats_np = rng.normal(size=(S, C, F)).astype(np.float32)
+    if cand_np is None:
+        cand_np = rng.integers(-1, 50, (S, C)).astype(np.int32)
+    keep = None if n_keep == S else np.arange(n_keep)
+    feats = feats_np if keep is None else feats_np[keep]
+    return RetrievedBatch(
+        session=np.arange(n_keep).astype(np.int32),
+        cand=jnp.asarray(cand_np), feats=jnp.asarray(feats),
+        ts_order=jnp.asarray(cand_np), keep=keep,
+    )
+
+
+def test_score_and_topk_keep_filtered_batch():
+    b = padded_batch(n_keep=5)
+    s, a, sc = rank_engine.score_and_topk([b], tiny_ranker(), top_k=K)
+    assert s.shape == (5,) and a.shape == (5, K) and sc.shape == (5, K)
+    # padded rows must not leak: sessions are exactly the kept ones
+    assert sorted(s.tolist()) == list(range(5))
+
+
+def test_score_topk_multi_matches_single():
+    b = padded_batch(n_keep=5)
+    rankers = [tiny_ranker(i) for i in range(3)]
+    multi = rank_engine.score_topk_multi(b, rankers, top_k=K)
+    assert multi is not None and multi.shape == (3, 5, K)
+    for i, r in enumerate(rankers):
+        b2 = padded_batch(n_keep=5)
+        _, a, _ = rank_engine.score_and_topk([b2], r, top_k=K)
+        np.testing.assert_array_equal(multi[i], a)
+
+
+def test_pack_meta_roundtrip():
+    rng = np.random.default_rng(2)
+    cand_np = rng.integers(-1, 2_000_000, (S, C)).astype(np.int32)
+    feats_np = np.zeros((S, C, F), np.float32)
+    # set a deterministic flag pattern over the source columns
+    want_flags = np.zeros((S, C), np.uint16)
+    for k, name in enumerate(SOURCE_FLAGS):
+        on = rng.random((S, C)) < 0.5
+        feats_np[:, :, FEATURE_INDEX[name]] = on
+        want_flags |= (on.astype(np.uint16) << k)
+    b = padded_batch(n_keep=5, feats_np=feats_np, cand_np=cand_np)
+    keep = np.arange(5)
+    meta = b.pack_meta()
+    flags = b.unpack_meta(meta)
+    np.testing.assert_array_equal(b.cand, cand_np[keep])
+    np.testing.assert_array_equal(flags, want_flags[keep])
+    # ts_order's lazy pull still applies the keep filter after unpack
+    np.testing.assert_array_equal(b.ts_order, cand_np[keep])

@@ -472,10 +472,17 @@ class Pipeline:
             else:
                 if wcfg.sampler == "device":
                     # row-sharded tables when the mesh has a model axis
-                    # (SURVEY §2.2's one genuine model-parallel axis)
+                    # (SURVEY §2.2's one genuine model-parallel axis).
+                    # Per-epoch checkpoint: a tunnel outage mid-training
+                    # (observed: multi-minute dead link at 12.9M scale)
+                    # then costs one epoch, not the whole model.
+                    ckpt = self._p(f"w2v-{name}.ckpt") if self.use_cache else None
                     models[name] = train_word2vec_device(
-                        full, wcfg, self.n_aids, mesh_ctx=self.mesh
+                        full, wcfg, self.n_aids, mesh_ctx=self.mesh,
+                        checkpoint_path=ckpt,
                     )
+                    if ckpt and os.path.exists(ckpt):
+                        os.remove(ckpt)  # the .npz artifact supersedes it
                 else:
                     models[name] = train_word2vec(full, wcfg, self.n_aids)
                 models[name].save(mpath)

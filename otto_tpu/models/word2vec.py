@@ -1107,7 +1107,18 @@ def train_word2vec_device(
                 )
         log.info("w2v[device] %s epoch %d: %d steps (%d dispatches), loss=%.4f",
                  cfg.name, epoch, n_chunks * chunk, n_chunks, float(loss))
-        if checkpoint_path is not None:
+        # Saves are opt-in (OTTO_W2V_CKPT_EVERY=N epochs): pulling the
+        # [V, D] tables through the tunneled runtime costs ~9 min per save
+        # at V=1.73M (measured 2026-08-21, vs a 380 s epoch) — far more
+        # than the expected cost of re-running lost epochs after a rare
+        # outage. Resume (above) always honours an existing checkpoint.
+        ckpt_every = int(os.environ.get("OTTO_W2V_CKPT_EVERY", "0") or 0)
+        if (
+            checkpoint_path is not None
+            and ckpt_every > 0
+            and (epoch + 1) % ckpt_every == 0
+            and epoch + 1 < cfg.epochs  # final state persists as the .npz
+        ):
             from otto_tpu.utils.checkpoint import save_checkpoint
 
             save_checkpoint(

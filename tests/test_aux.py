@@ -23,18 +23,25 @@ def test_checkpoint_missing_returns_none(tmp_path):
     assert load_checkpoint(str(tmp_path / "nope.npz"), {"x": jnp.zeros(1)}) is None
 
 
-def test_w2v_device_resume(tmp_path):
+def test_w2v_device_resume(tmp_path, monkeypatch):
     from otto_tpu.config import Word2VecConfig
     from otto_tpu.models.word2vec import train_word2vec_device
     from tests.test_word2vec import simple_events
 
+    # saves are opt-in (tunnel pulls cost ~9 min/save at production vocab);
+    # every-epoch here exercises save + mid-training resume
+    monkeypatch.setenv("OTTO_W2V_CKPT_EVERY", "1")
     ev = simple_events(n_sessions=100, sess_len=6)
     ck = str(tmp_path / "w2v_ck.npz")
     cfg = Word2VecConfig(name="t", vector_size=8, min_count=1, epochs=2,
                          batch_size=1024, window=3, subsample_t=0)
     m1 = train_word2vec_device(ev, cfg, n_aids=20, checkpoint_path=ck)
+    # the final epoch never saves (the model .npz artifact supersedes it),
+    # so the file holds the epoch-1 state
     assert os.path.exists(ck)
-    # resume: checkpoint says epochs done -> instant, same result
+    # resume: restart at epoch 1, recompute epoch 2 -> identical embeddings
+    # (epoch sampling is keyed by epoch index, so the recompute is
+    # bit-deterministic from the checkpointed state)
     m2 = train_word2vec_device(ev, cfg, n_aids=20, checkpoint_path=ck)
     np.testing.assert_array_equal(m1.emb, m2.emb)
 

@@ -255,6 +255,39 @@ class RetrievedBatch:
         )
         return rows[:n].astype(np.float32)
 
+    def feats_rows_async(self, si: np.ndarray, ci: np.ndarray):
+        """Dispatch the clipped-f16 row gather WITHOUT materializing: returns
+        (handle, n) where `np.asarray(handle)[:n]` yields the [n, F] f16
+        rows. Starts the device->host copy immediately so the pull overlaps
+        the caller's host work on other batches (pass A's per-batch serial
+        chain — meta pull -> join/select -> row pull — bounded the streaming
+        consumer at ~2.8 s/batch while the retrieval program itself runs at
+        ~0.25 s/batch). Host-array fallback returns the rows directly."""
+        import jax.numpy as jnp
+
+        n = len(si)
+        F = self.feats.shape[-1]
+        if n == 0:
+            return np.empty((0, F), np.float16), 0
+        if isinstance(self.feats, np.ndarray):
+            return (
+                np.clip(self.feats[si, ci], -65504.0, 65504.0)
+                .astype(np.float16),
+                n,
+            )
+        npad = max(8, 1 << (n - 1).bit_length())
+        sip = np.zeros(npad, si.dtype)
+        cip = np.zeros(npad, ci.dtype)
+        sip[:n], cip[:n] = si, ci
+        handle = jnp.clip(
+            self.feats[jnp.asarray(sip), jnp.asarray(cip)], -65504.0, 65504.0
+        ).astype(jnp.float16)
+        try:
+            handle.copy_to_host_async()
+        except AttributeError:
+            pass
+        return handle, n
+
 
 def _null_to(x, ident, repl):
     return jnp.where(x == ident, repl, x)

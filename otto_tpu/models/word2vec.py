@@ -970,10 +970,21 @@ def train_word2vec_device(
         log.info("w2v[device] %s: neg_sharing auto -> %s (V=%d, positions=%d)",
                  cfg.name, neg_mode, V, total_positions)
     start_epoch = 0
+    # checkpoint fingerprint: a stale .ckpt in a reused cache dir from a
+    # run with a different vocab/dim/config must be discarded, not restored
+    # (JAX clamps out-of-range gathers — a vocab mismatch would train on
+    # silently-corrupted tables). Validated by load_checkpoint (ADVICE r4).
+    ckpt_meta = {
+        "name": cfg.name, "V": V, "vector_size": cfg.vector_size,
+        "epochs": cfg.epochs, "seed": cfg.seed,
+        "window": cfg.window, "negatives": cfg.negatives,
+    }
     if checkpoint_path is not None:
         from otto_tpu.utils.checkpoint import load_checkpoint
 
-        restored = load_checkpoint(checkpoint_path, (params, key))
+        restored = load_checkpoint(
+            checkpoint_path, (params, key), expect_meta=ckpt_meta
+        )
         if restored is not None:
             (params, key), start_epoch = restored
             log.info("w2v[device] %s resumed at epoch %d", cfg.name, start_epoch)
@@ -1084,9 +1095,11 @@ def train_word2vec_device(
             elif block:
                 if opt == "sgd":
                     # gensim's linear alpha -> min_alpha sweep across the
-                    # whole training run (all epochs)
-                    done = (epoch - start_epoch) * n_chunks + c
-                    total = max(1, (cfg.epochs - start_epoch) * n_chunks)
+                    # whole training run. ABSOLUTE epoch indices: a resumed
+                    # run must continue the original decay, not restart it
+                    # over the remaining epochs (ADVICE r4)
+                    done = epoch * n_chunks + c
+                    total = max(1, cfg.epochs * n_chunks)
                     a0 = float(getattr(cfg, "sgd_alpha", 0.025))
                     a1 = float(getattr(cfg, "sgd_min_alpha", 1e-4))
                     lr_t = jnp.float32(a0 + (a1 - a0) * (done / total))
@@ -1121,10 +1134,19 @@ def train_word2vec_device(
         ):
             from otto_tpu.utils.checkpoint import save_checkpoint
 
+            # device-independent state: slice tables back to the TRUE V
+            # before saving — under model parallelism params are padded to
+            # Vp rows and saving those re-padded on resume ([2*Vp-V, D]
+            # tables with wrong row->shard mapping, ADVICE r4). The resume
+            # template is unpadded [V, ...], so the MP branch re-pads and
+            # re-shards the restored state correctly.
+            state_params = unfuse_params(tab_in, tab_out) if fused else params
+            state_params = jax.tree_util.tree_map(
+                lambda x: x[:V], state_params
+            )
             save_checkpoint(
-                checkpoint_path,
-                ((unfuse_params(tab_in, tab_out) if fused else params), key),
-                epoch + 1,
+                checkpoint_path, (state_params, key), epoch + 1,
+                meta=ckpt_meta,
             )
 
     if fused:

@@ -46,6 +46,66 @@ def test_w2v_device_resume(tmp_path, monkeypatch):
     np.testing.assert_array_equal(m1.emb, m2.emb)
 
 
+def test_checkpoint_shape_mismatch_discarded(tmp_path):
+    """A checkpoint whose leaf shapes differ from the caller's template is
+    discarded, not restored — shapes come from the file, so a stale vocab
+    would otherwise load 'successfully' and corrupt training (ADVICE r4)."""
+    p = str(tmp_path / "ckpt.npz")
+    save_checkpoint(p, {"w": jnp.zeros((4, 3))}, step=1)
+    assert load_checkpoint(p, {"w": jnp.zeros((5, 3))}) is None
+    assert load_checkpoint(p, {"w": jnp.zeros((4, 3))}) is not None
+    # leaf-count mismatch likewise
+    assert (
+        load_checkpoint(p, {"w": jnp.zeros((4, 3)), "b": jnp.zeros(3)}) is None
+    )
+
+
+def test_checkpoint_meta_mismatch_discarded(tmp_path):
+    p = str(tmp_path / "ckpt.npz")
+    meta = {"V": 100, "vector_size": 8, "seed": 42}
+    save_checkpoint(p, {"w": jnp.zeros(2)}, step=3, meta=meta)
+    ok = load_checkpoint(p, {"w": jnp.zeros(2)}, expect_meta=meta)
+    assert ok is not None and ok[1] == 3
+    stale = dict(meta, V=200)
+    assert load_checkpoint(p, {"w": jnp.zeros(2)}, expect_meta=stale) is None
+    # a checkpoint written WITHOUT meta fails a caller that expects one
+    save_checkpoint(p, {"w": jnp.zeros(2)}, step=3)
+    assert load_checkpoint(p, {"w": jnp.zeros(2)}, expect_meta=meta) is None
+
+
+def test_w2v_device_resume_mp(tmp_path, monkeypatch):
+    """Model-parallel mid-training resume: the checkpoint stores
+    device-independent [V, ...] state (NOT the Vp-padded shards), so a
+    resumed MP run re-pads/re-shards correctly and reproduces the
+    uninterrupted MP run bit-for-bit (ADVICE r4: the padded save re-padded
+    on restore into [2*Vp-V, D] tables)."""
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >= 4 devices")
+    from otto_tpu.config import Word2VecConfig
+    from otto_tpu.models.word2vec import train_word2vec_device
+    from otto_tpu.parallel.mesh import make_mesh
+    from tests.test_word2vec import simple_events
+
+    mesh = make_mesh(jax.devices()[:4], data_parallel=1, model_parallel=4)
+    monkeypatch.setenv("OTTO_W2V_CKPT_EVERY", "1")
+    ev = simple_events(n_sessions=100, sess_len=6)
+    ck = str(tmp_path / "w2v_ck_mp.npz")
+    # V=18-ish is NOT divisible by 4 shards -> exercises the Vp padding
+    cfg = Word2VecConfig(name="tmp", vector_size=8, min_count=1, epochs=2,
+                         batch_size=1024, window=3, subsample_t=0)
+    m1 = train_word2vec_device(ev, cfg, n_aids=20, checkpoint_path=ck,
+                               mesh_ctx=mesh)
+    assert os.path.exists(ck)  # holds the epoch-1 state
+    # saved state must be the TRUE-V table, not the padded shard layout
+    z = np.load(ck)
+    assert z["leaf_0"].shape[0] == m1.emb.shape[0]
+    m2 = train_word2vec_device(ev, cfg, n_aids=20, checkpoint_path=ck,
+                               mesh_ctx=mesh)
+    np.testing.assert_array_equal(m1.emb, m2.emb)
+
+
 def test_report_name():
     n = report_name("eval", tag="v1")
     assert n.startswith("eval-")

@@ -141,6 +141,54 @@ def _pack_meta_program(cand, feats):
     return ((cand + 1) << len(SOURCE_FLAGS)) | flags
 
 
+@jax.jit
+def _label_bits_program(cand, session, lab0, lab1, lab2):
+    """Device-side label join (the target half of reference
+    model/retrieve.py:630-644): bit t of the [S, C] uint8 result = candidate
+    is a type-t label for its session. Sorted per-type label KEY tables
+    ((session << AID_BITS) | aid, int64) live on device; the host-side
+    numpy searchsorted join was the single largest pass-A consumer phase
+    (~420 ms/batch at [2048, 512] — measured 2026-08-21) while on the TPU
+    it is milliseconds fused into the retrieval dispatch stream.
+
+    MUST run (and its inputs upload) under jax.enable_x64(): the 45-bit
+    (session, aid) key silently truncates to int32 otherwise — sessions
+    past 2^10 then collide and the join is wrong (caught by the streaming
+    equivalence test)."""
+    key = (
+        session.astype(jnp.int64)[:, None] << AID_BITS
+    ) | jnp.maximum(cand, 0).astype(jnp.int64)
+    bits = jnp.zeros(cand.shape, jnp.uint8)
+    for t, lab in enumerate((lab0, lab1, lab2)):
+        n = lab.shape[0]
+        pos = jnp.searchsorted(lab, key)
+        hit = (
+            (pos < n)
+            & (jnp.take(lab, jnp.minimum(pos, n - 1)) == key)
+            & (cand >= 0)
+        )
+        bits = bits | (hit.astype(jnp.uint8) << t)
+    return bits
+
+
+def label_keys_device(labels) -> tuple:
+    """Sorted per-type (session << AID_BITS | aid) int64 key tables on
+    device for _label_bits_program. Empty types get a single -1 sentinel
+    (matches nothing: real keys are >= 0)."""
+    out = []
+    with jax.enable_x64():
+        for tid in (0, 1, 2):
+            lab = labels.for_type(tid)
+            key = (
+                lab.session.astype(np.int64) << AID_BITS
+            ) | lab.aid.astype(np.int64)
+            key = np.sort(key)
+            if len(key) == 0:
+                key = np.array([-1], np.int64)
+            out.append(jnp.asarray(key))
+    return tuple(out)
+
+
 class RetrievalContext(NamedTuple):
     """Device-resident stats tables feeding retrieval."""
 
@@ -210,6 +258,20 @@ class RetrievedBatch:
         if isinstance(self._cand, np.ndarray):
             return None
         return _pack_meta_program(self.cand_device(), self.feats)
+
+    def pack_meta_labels(self, label_keys):
+        """pack_meta plus the device label join: returns (meta_handle,
+        target_bits_handle) or None on host-array batches. label_keys is
+        label_keys_device()'s tuple of 3 sorted int64 key tables."""
+        if isinstance(self._cand, np.ndarray):
+            return None
+        cand = self.cand_device()
+        meta = _pack_meta_program(cand, self.feats)
+        with jax.enable_x64():
+            bits = _label_bits_program(
+                cand, jnp.asarray(self.session), *label_keys
+            )
+        return meta, bits
 
     def unpack_meta(self, meta) -> np.ndarray:
         """Pull + unpack a pack_meta() handle: caches the keep-filtered

@@ -270,9 +270,17 @@ class Pipeline:
             nonlocal n_sessions, n_batches
             # ONE packed pull covers cand + src flags (pack_meta); the
             # separate lazy-cand and flag pulls were ~150 ms round-trips
-            # each per batch
+            # each per batch. With pack_meta_labels the label join rides
+            # the same dispatch: a second small [S, C] u8 pull replaces
+            # the host searchsorted join (~420 ms/batch measured).
             t = time.time()
-            flags_packed = b.unpack_meta(meta) if meta is not None else None
+            tbits = None
+            if isinstance(meta, tuple):
+                meta_i32, tbits_dev = meta
+                flags_packed = b.unpack_meta(meta_i32)
+                tbits = np.asarray(tbits_dev)
+            else:
+                flags_packed = b.unpack_meta(meta) if meta is not None else None
             ph["meta_pull"] += time.time() - t
             n_sessions += len(b.session)
             n_batches += 1
@@ -287,7 +295,12 @@ class Pipeline:
                 else SrcFlagBatch.from_batch(b)
             )
             t = time.time()
-            tgt = join_labels([b], labels)[0]
+            if tbits is not None:
+                tgt = np.stack(
+                    [(tbits >> ti) & 1 for ti in range(3)], axis=-1
+                ).astype(np.float32)
+            else:
+                tgt = join_labels([b], labels)[0]
             ph["join"] += time.time() - t
             # select per type on host, then ONE padded device gather for all
             # three types (each eager gather is a tunnel round-trip)
@@ -337,9 +350,13 @@ class Pipeline:
         # the Python thread (pass A realized 745 sessions/s at full scale
         # vs the 8.4k/s the retrieval program sustains). Queue depth 1
         # bounds live [S, C, F] feature tensors to ~3 batches.
+        from otto_tpu.engine.retrieval import label_keys_device
+
+        lab_keys = label_keys_device(labels)
         self._pipelined_consume(
             retriever.iter_run(test, batch_sessions=batch_sessions),
             consume_a,
+            pack=lambda b: b.pack_meta_labels(lab_keys) or b.pack_meta(),
         )
         while pend:
             flush_pend()
@@ -412,14 +429,19 @@ class Pipeline:
         self._log("score (pass B)", t0)
         return self._submit_and_eval(preds, labels, metrics, t0)
 
-    def _pipelined_consume(self, batch_iter, consume, with_meta=True) -> None:
+    def _pipelined_consume(
+        self, batch_iter, consume, with_meta=True, pack=None
+    ) -> None:
         """Producer/consumer pipeline over retrieval batches: the main
         thread dispatches device work (retrieval + the packed meta
         program) while a worker thread does the per-batch host work
-        (pulls, joins, downsampling / scoring collection). Queue depth 1:
-        at most ~3 batches' device tensors are alive (in-flight retrieve,
-        queued, being consumed). On a consumer error the worker keeps
-        draining so the producer never blocks; the error re-raises here."""
+        (pulls, joins, downsampling / scoring collection). `pack`
+        overrides the per-batch device-side pack dispatch (default
+        b.pack_meta()); tuple results have every element's host copy
+        started asynchronously. Queue depth 1: at most ~3 batches' device
+        tensors are alive (in-flight retrieve, queued, being consumed).
+        On a consumer error the worker keeps draining so the producer
+        never blocks; the error re-raises here."""
         import queue as queue_mod
         import threading
 
@@ -445,15 +467,19 @@ class Pipeline:
             for b in batch_iter:
                 if errs:
                     break
-                meta = b.pack_meta() if with_meta else None
-                if meta is not None:
-                    # start the device->host copy now: the transfer rides
-                    # the link while the consumer works on earlier batches,
-                    # so its np.asarray(meta) finds the bytes already here
-                    try:
-                        meta.copy_to_host_async()
-                    except AttributeError:
-                        pass
+                if pack is not None:
+                    meta = pack(b)
+                else:
+                    meta = b.pack_meta() if with_meta else None
+                # start the device->host copies now: the transfers ride
+                # the link while the consumer works on earlier batches,
+                # so its np.asarray(...) finds the bytes already here
+                for h in meta if isinstance(meta, tuple) else (meta,):
+                    if h is not None:
+                        try:
+                            h.copy_to_host_async()
+                        except AttributeError:
+                            pass
                 q.put((b, meta))
         finally:
             q.put(None)

@@ -29,6 +29,12 @@ def main():
     ap.add_argument("--covis-s", type=float, default=None,
                     help="substitute covis seconds (artifact-cache resume)")
     ap.add_argument("--w2vec-s", type=float, default=None)
+    ap.add_argument("--sub", action="append", default=[],
+                    metavar="STAGE=SECONDS",
+                    help="substitute any stage's seconds (repeatable), for "
+                    "stages resumed from artifact caches in this record — "
+                    "use the measured wall-clock of the run that actually "
+                    "built the artifact")
     args = ap.parse_args()
     d = json.load(open(args.record))
 
@@ -54,6 +60,9 @@ def main():
         stages["covis"] = args.covis_s
     if args.w2vec_s is not None:
         stages["w2vec"] = args.w2vec_s
+    for sub in args.sub:
+        k, _, v = sub.partition("=")
+        stages[k] = float(v)
 
     print("| Stage | reference (CPU box) | otto-tpu (1x v5e) | speedup |")
     print("|---|---|---|---|")

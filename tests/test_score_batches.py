@@ -90,3 +90,42 @@ def test_pack_meta_roundtrip():
     np.testing.assert_array_equal(flags, want_flags[keep])
     # ts_order's lazy pull still applies the keep filter after unpack
     np.testing.assert_array_equal(b.ts_order, cand_np[keep])
+
+
+def test_pack_meta_labels_matches_host_join():
+    """The device label join (pack_meta_labels' target bits) must equal
+    join_labels' host searchsorted join bit-for-bit."""
+    from otto_tpu.data.schema import Labels
+    from otto_tpu.engine.retrieval import join_labels, label_keys_device
+
+    rng = np.random.default_rng(7)
+    n_aids = 40
+    cand_np = rng.integers(-1, n_aids, (S, C)).astype(np.int32)
+    b = padded_batch(n_keep=5, cand_np=cand_np)
+    # labels over a superset of the batch's sessions, some hits guaranteed
+    ls, la, lt = [], [], []
+    for sess in range(8):
+        for _ in range(rng.integers(1, 4)):
+            ls.append(sess)
+            la.append(int(rng.integers(0, n_aids)))
+            lt.append(int(rng.integers(0, 3)))
+    # force known hits: session 0's first two real candidates
+    for tid in (0, 2):
+        ls.append(0)
+        la.append(int(max(cand_np[0, 0], 0)))
+        lt.append(tid)
+    labels = Labels(
+        session=np.asarray(ls, np.int32),
+        aid=np.asarray(la, np.int32),
+        type=np.asarray(lt, np.int8),
+    )
+    got = b.pack_meta_labels(label_keys_device(labels))
+    assert got is not None
+    meta, bits_dev = got
+    b.unpack_meta(meta)
+    bits = np.asarray(bits_dev)
+    tgt = join_labels([b], labels)[0]          # [n_keep, C, 3] host oracle
+    for tid in range(3):
+        np.testing.assert_array_equal(
+            (bits >> tid) & 1, tgt[:, :, tid].astype(np.uint8)
+        )

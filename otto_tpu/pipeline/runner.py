@@ -55,6 +55,20 @@ from otto_tpu.ops.kmeans import kmeans_fit
 log = logging.getLogger(__name__)
 
 
+def _host_rss_gb() -> float:
+    """Resident host memory of this process (OOM forensics: the r5
+    full-scale attempt-1 was OOM-killed at 128 GB with no memory
+    telemetry in the log)."""
+    try:
+        with open("/proc/self/status") as fh:
+            for line in fh:
+                if line.startswith("VmRSS:"):
+                    return int(line.split()[1]) / 2**20
+    except OSError:
+        pass
+    return 0.0
+
+
 def _peak_hbm_gb() -> "Optional[float]":
     """Best-effort device peak-memory probe (SURVEY §5.1 observability)."""
     try:
@@ -143,7 +157,8 @@ class Pipeline:
 
     def _log(self, stage: str, t0: float, msg: str = ""):
         el = time.time() - t0
-        entry = {"stage": stage, "elapsed_s": round(el, 1)}
+        entry = {"stage": stage, "elapsed_s": round(el, 1),
+                 "rss_gb": round(_host_rss_gb(), 1)}
         hbm = _peak_hbm_gb()
         if hbm is not None:
             entry["peak_hbm_gb"] = hbm
@@ -244,6 +259,13 @@ class Pipeline:
         rows = {t: [] for t in TYPES}    # downsampled (feats, y, sess)
         sess_acc, cand_acc, flag_batches = [], [], []
         n_sessions = 0
+        # device-side streaming evaluator (ceiling + per-source + count
+        # stats accumulated per batch ON DEVICE; a few KB pulled once at
+        # the end). The host fallback below materialized 18 masked copies
+        # of the full candidate matrix after the pass — ~33 min + several
+        # GB of host RAM at reference scale. Created on the first
+        # device-path batch (host-array batches keep the host path).
+        dev_eval = None
 
         cand_counts = []   # candidates/session (reference README.md:42-47
         #                    anchor: mean 172.354, min 56, max 2322)
@@ -260,14 +282,18 @@ class Pipeline:
 
         def flush_pend():
             handle, n, layout = pend.pop(0)
-            feats_all = np.asarray(handle)[:n]   # f16, clipped on device
+            # exact-size copy: slicing the pow2-PADDED pull without a copy
+            # keeps the padded base array alive via the per-target views —
+            # up to 2x the rows' true footprint held for the whole pass
+            # (a contributor to the r5 attempt-1 host OOM at 128 GB)
+            feats_all = np.asarray(handle)[:n].copy()
             off = 0
             for tname, cnt, y, sess in layout:
                 rows[tname].append((feats_all[off:off + cnt], y, sess))
                 off += cnt
 
         def consume_a(b, meta=None):
-            nonlocal n_sessions, n_batches
+            nonlocal n_sessions, n_batches, dev_eval
             # ONE packed pull covers cand + src flags (pack_meta); the
             # separate lazy-cand and flag pulls were ~150 ms round-trips
             # each per batch. With pack_meta_labels the label join rides
@@ -277,23 +303,41 @@ class Pipeline:
             tbits = None
             if isinstance(meta, tuple):
                 meta_i32, tbits_dev = meta
+                if dev_eval is None:
+                    if n_batches:
+                        raise RuntimeError(
+                            "mixed device/host retrieval batches in one "
+                            "streaming pass"
+                        )
+                    from otto_tpu.eval.per_source import DeviceSourceEval
+
+                    dev_eval = DeviceSourceEval(int(b.feats.shape[1]))
+                # async accumulate dispatch BEFORE the blocking pulls
+                dev_eval.update(meta_i32, tbits_dev)
                 flags_packed = b.unpack_meta(meta_i32)
                 tbits = np.asarray(tbits_dev)
             else:
+                if dev_eval is not None:
+                    raise RuntimeError(
+                        "mixed device/host retrieval batches in one "
+                        "streaming pass"
+                    )
                 flags_packed = b.unpack_meta(meta) if meta is not None else None
             ph["meta_pull"] += time.time() - t
             n_sessions += len(b.session)
             n_batches += 1
-            sess_acc.append(b.session)
-            cand_acc.append(b.cand)
-            cand_counts.append((b.cand >= 0).sum(axis=1))
+            if dev_eval is None:
+                sess_acc.append(b.session)
+                cand_acc.append(b.cand)
+                cand_counts.append((b.cand >= 0).sum(axis=1))
             if labels is None:
                 return
-            flag_batches.append(
-                SrcFlagBatch(b.session, b.cand, flags_packed)
-                if flags_packed is not None
-                else SrcFlagBatch.from_batch(b)
-            )
+            if dev_eval is None:
+                flag_batches.append(
+                    SrcFlagBatch(b.session, b.cand, flags_packed)
+                    if flags_packed is not None
+                    else SrcFlagBatch.from_batch(b)
+                )
             t = time.time()
             if tbits is not None:
                 tgt = np.stack(
@@ -337,10 +381,11 @@ class Pipeline:
                 tot = sum(ph.values())
                 log.info(
                     "pass A consumer after %d batches: %s (%.0f ms/batch "
-                    "consumed)",
+                    "consumed, rss %.1f GB)",
                     n_batches,
                     {k: f"{v / n_batches * 1e3:.0f}ms" for k, v in ph.items()},
                     tot / n_batches * 1e3,
+                    _host_rss_gb(),
                 )
 
         # pipelined consumer thread (round 4, VERDICT r3 item 6): batch N's
@@ -368,25 +413,49 @@ class Pipeline:
         )
 
         metrics: Dict[str, float] = {}
-        metrics = self._eval_retrieved(
-            np.concatenate(sess_acc), np.concatenate(cand_acc),
-            flag_batches, labels, t0,
-        )
-        del flag_batches, sess_acc, cand_acc
-        # candidate-count distribution vs the reference's published stats
-        # (reference: README.md:42-47 — mean 172.354, min 56, max 2322;
-        # a shape mismatch here catches silent retrieval bugs that recall
-        # on synthetic data cannot)
-        cc = np.concatenate(cand_counts)
-        metrics["cand_per_session_mean"] = float(cc.mean())
-        metrics["cand_per_session_min"] = int(cc.min())
-        metrics["cand_per_session_max"] = int(cc.max())
-        log.info(
-            "candidates/session: mean %.1f min %d max %d "
-            "(reference: 172.4 / 56 / 2322, README.md:42-47)",
-            cc.mean(), cc.min(), cc.max(),
-        )
-        del cand_counts, cc
+        if dev_eval is not None:
+            from otto_tpu.eval.per_source import format_report
+
+            report = dev_eval.finalize(labels)
+            ceiling = report.pop("_ceiling")
+            with open(self._p("eval_retrieved.json"), "w") as fh:
+                json.dump(ceiling, fh, indent=2)
+            for t in ("clicks", "carts", "orders", "total"):
+                metrics[f"ceiling_{t}"] = ceiling[t]["topall"]
+            self._log("eval_retrieved", t0, json.dumps(ceiling["total"]))
+            with open(self._p("eval_retrieved_sources.json"), "w") as fh:
+                json.dump(report, fh, indent=2)
+            log.info("per-source recall:\n%s", format_report(report))
+            self._log("eval per-source", t0)
+            anyc = report["_counts"]["src_any"]
+            metrics["cand_per_session_mean"] = anyc["mean"]
+            metrics["cand_per_session_min"] = anyc["min"]
+            metrics["cand_per_session_max"] = anyc["max"]
+            log.info(
+                "candidates/session: mean %.1f min %d max %d "
+                "(reference: 172.4 / 56 / 2322, README.md:42-47)",
+                anyc["mean"], anyc["min"], anyc["max"],
+            )
+        else:
+            metrics = self._eval_retrieved(
+                np.concatenate(sess_acc), np.concatenate(cand_acc),
+                flag_batches, labels, t0,
+            )
+            del flag_batches, sess_acc, cand_acc
+            # candidate-count distribution vs the reference's published
+            # stats (reference: README.md:42-47 — mean 172.354, min 56,
+            # max 2322; a shape mismatch here catches silent retrieval
+            # bugs that recall on synthetic data cannot)
+            cc = np.concatenate(cand_counts)
+            metrics["cand_per_session_mean"] = float(cc.mean())
+            metrics["cand_per_session_min"] = int(cc.min())
+            metrics["cand_per_session_max"] = int(cc.max())
+            log.info(
+                "candidates/session: mean %.1f min %d max %d "
+                "(reference: 172.4 / 56 / 2322, README.md:42-47)",
+                cc.mean(), cc.min(), cc.max(),
+            )
+            del cand_counts, cc
         # pass-A metrics snapshot: together with the ranker artifacts this
         # lets a crash-restart skip straight to pass B (fast path above)
         with open(pm_path, "w") as fh:
@@ -781,6 +850,9 @@ class Pipeline:
         with open(self._p("eval_retrieved_sources.json"), "w") as fh:
             json.dump(per_src, fh, indent=2)
         log.info("per-source recall:\n%s", format_report(per_src))
+        # own stage row: at reference scale this host path costs ~33 min
+        # and previously hid inside the next stage's delta
+        self._log("eval per-source", t0)
         return metrics
 
     def rank_and_eval(

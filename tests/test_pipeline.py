@@ -131,12 +131,28 @@ def test_streaming_runner_matches_batch(tiny_cfg, pipeline_metrics, tmp_path):
     for k in ("ceiling_total", "clicks", "carts", "orders", "total"):
         assert abs(m[k] - batch_metrics[k]) < 1e-9, (k, m[k], batch_metrics[k])
 
-    # the per-source recall report (built from streamed src-flag slices)
-    # must match the batch runner's (built from resident feature tensors)
+    # the per-source recall report (streaming: accumulated ON DEVICE from
+    # the packed meta + label bits) must match the batch runner's host
+    # report to fp tolerance (the device path sums integer hit counters,
+    # so weighted totals can differ in the last ulp)
     work_batch, _ = pipeline_metrics
     a = json.load(open(os.path.join(work_batch, "eval_retrieved_sources.json")))
     b = json.load(open(os.path.join(str(tmp_path), "eval_retrieved_sources.json")))
-    assert a == b
+
+    def close(x, y, path=""):
+        assert type(x) is type(y) or (
+            isinstance(x, (int, float)) and isinstance(y, (int, float))
+        ), (path, x, y)
+        if isinstance(x, dict):
+            assert set(x) == set(y), (path, set(x) ^ set(y))
+            for k in x:
+                close(x[k], y[k], f"{path}/{k}")
+        elif isinstance(x, (int, float)):
+            assert abs(x - y) < 1e-9, (path, x, y)
+        else:
+            assert x == y, (path, x, y)
+
+    close(a, b)
 
 
 def test_inference_only_flow(tiny_cfg, pipeline_metrics):

@@ -92,6 +92,92 @@ def test_pack_meta_roundtrip():
     np.testing.assert_array_equal(b.ts_order, cand_np[keep])
 
 
+def test_device_source_eval_matches_host():
+    """DeviceSourceEval (streaming on-device C14) must reproduce the host
+    eval_retrieved_by_source report AND recall_at_k's ceiling numbers
+    exactly, from the packed meta + label bits alone."""
+    from otto_tpu.data.schema import Labels
+    from otto_tpu.engine.retrieval import (
+        join_labels, label_keys_device,
+    )
+    from otto_tpu.eval.per_source import (
+        DeviceSourceEval,
+        eval_retrieved_by_source,
+    )
+    from otto_tpu.eval.recall import recall_at_k
+
+    rng = np.random.default_rng(11)
+    Sb, Cb, n_aids = 16, 24, 200
+    batches = []
+    for bi in range(3):
+        # unique candidates per session row, ragged tail padding
+        cand_np = np.full((Sb, Cb), -1, np.int32)
+        for i in range(Sb):
+            n = int(rng.integers(3, Cb + 1))
+            cand_np[i, :n] = rng.choice(n_aids, n, replace=False)
+        feats_np = np.zeros((Sb, Cb, F), np.float32)
+        valid = cand_np >= 0
+        feats_np[:, :, FEATURE_INDEX["src_any"]] = valid
+        for name in SOURCE_FLAGS[1:]:
+            feats_np[:, :, FEATURE_INDEX[name]] = (
+                (rng.random((Sb, Cb)) < 0.4) & valid
+            )
+        b = RetrievedBatch(
+            session=(np.arange(Sb) + bi * Sb).astype(np.int32),
+            cand=jnp.asarray(cand_np), feats=jnp.asarray(feats_np),
+            ts_order=jnp.asarray(cand_np), keep=None,
+        )
+        batches.append(b)
+    ls, la, lt = [], [], []
+    for sess in range(3 * Sb + 4):        # a few label-only sessions too
+        for _ in range(int(rng.integers(0, 5))):
+            ls.append(sess)
+            la.append(int(rng.integers(0, n_aids)))
+            lt.append(int(rng.integers(0, 3)))
+    labels = Labels(
+        session=np.asarray(ls, np.int32), aid=np.asarray(la, np.int32),
+        type=np.asarray(lt, np.int8),
+    )
+    # dedup (session, aid, type) triples: real labels are sets
+    key = (np.asarray(ls, np.int64) * n_aids + np.asarray(la)) * 3 + lt
+    _, ix = np.unique(key, return_index=True)
+    labels = Labels(
+        session=labels.session[ix], aid=labels.aid[ix], type=labels.type[ix]
+    )
+
+    lab_keys = label_keys_device(labels)
+    dev = DeviceSourceEval(Cb)
+    for b in batches:
+        meta, tbits = b.pack_meta_labels(lab_keys)
+        dev.update(meta, tbits)
+    got = dev.finalize(labels)
+    ceiling_got = got.pop("_ceiling")
+
+    want = eval_retrieved_by_source(batches, labels, cutoffs=(20,))
+    # host used cutoffs (20,) only where columns < 24; compare the shared
+    # cutoffs on the full default set instead
+    want = eval_retrieved_by_source(batches, labels)
+    for name, by_type in want.items():
+        if name == "_counts":
+            for s, stats in by_type.items():
+                for k2, v in stats.items():
+                    assert abs(got["_counts"][s][k2] - v) < 1e-9, (s, k2)
+            continue
+        for tname, r in by_type.items():
+            for ck, v in r.items():
+                assert abs(got[name][tname][ck] - v) < 1e-12, (
+                    name, tname, ck, got[name][tname][ck], v
+                )
+    ceiling_want = recall_at_k(
+        np.concatenate([b.session for b in batches]),
+        np.concatenate([b.cand for b in batches]),
+        labels,
+    )
+    for tname, r in ceiling_want.items():
+        for ck, v in r.items():
+            assert abs(ceiling_got[tname][ck] - v) < 1e-12, (tname, ck)
+
+
 def test_pack_meta_labels_matches_host_join():
     """The device label join (pack_meta_labels' target bits) must equal
     join_labels' host searchsorted join bit-for-bit."""

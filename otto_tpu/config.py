@@ -311,6 +311,16 @@ class RankerConfig:
     # Negative downsampling (reference: config.py:203-204).
     neg_to_pos_ratio: int = 40
     max_neg_per_session: int = 100
+    # Compute the downsample KEEP masks on device, fused into the pass-A
+    # packed-meta dispatch (engine/retrieval.py::_label_keep_bits_program):
+    # the host selection's three [S, C] argsorts cost ~0.5 s/batch on the
+    # 2-core box at [2048, 512]. Selection semantics are identical (all
+    # positives + min(ratio*n_pos, cap) uniformly-drawn negatives per
+    # session with a positive) but the random draws come from the device
+    # PRNG, so rows differ from the host path draw-for-draw; default off
+    # to preserve the streaming==batch bit-equivalence contract, enabled
+    # by reference-scale runs (scripts/run_fullscale.py).
+    device_select: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

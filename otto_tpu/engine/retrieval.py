@@ -171,6 +171,47 @@ def _label_bits_program(cand, session, lab0, lab1, lab2):
     return bits
 
 
+@partial(jax.jit, static_argnums=(6, 7))
+def _label_keep_bits_program(
+    cand, session, lab0, lab1, lab2, key, neg_ratio, neg_cap
+):
+    """_label_bits_program plus the downsample KEEP decision in the same
+    dispatch: bits 0-2 of the [S, C] uint8 result are the per-type label
+    bits, bits 3-5 the per-type keep bits — all positives plus
+    min(neg_ratio * n_pos, neg_cap) uniformly-drawn negatives for sessions
+    with at least one positive (reference downsampling semantics,
+    model/downsample_retrieved.py:30-45). The host selection path
+    (engine/rank.py::downsample_select) spent ~0.5 s/batch in three
+    [2048, 512] argsort + put_along_axis rank computations on the 2-core
+    host; here the negative choice is scatterless on device: one uniform
+    priority per (candidate, type), one row sort, and the neg_cap-th
+    smallest priority among the session's negatives as keep threshold."""
+    bits = _label_bits_program(cand, session, lab0, lab1, lab2)
+    valid = cand >= 0
+    S, C = cand.shape
+    out = bits
+    for t in range(3):
+        y = ((bits >> t) & 1) > 0
+        pos = y & valid
+        n_pos = pos.sum(axis=1)
+        max_neg = jnp.minimum(n_pos * neg_ratio, neg_cap)
+        prio = jax.random.uniform(
+            jax.random.fold_in(key, t), (S, C), jnp.float32
+        )
+        neg = valid & ~y
+        masked = jnp.where(neg, prio, 2.0)   # non-negatives sort past 1.0
+        srt = jnp.sort(masked, axis=1)
+        # priority of the max_neg-th smallest negative; if the session has
+        # fewer negatives than max_neg the threshold lands on a 2.0 pad
+        # slot and every available negative keeps (host-path semantics)
+        idx = jnp.clip(max_neg - 1, 0, C - 1)
+        thr = jnp.take_along_axis(srt, idx[:, None], axis=1)
+        keep_neg = neg & (masked <= thr) & (max_neg > 0)[:, None]
+        keep = (pos | keep_neg) & (n_pos > 0)[:, None]
+        out = out | (keep.astype(jnp.uint8) << (3 + t))
+    return out
+
+
 def label_keys_device(labels) -> tuple:
     """Sorted per-type (session << AID_BITS | aid) int64 key tables on
     device for _label_bits_program. Empty types get a single -1 sentinel
@@ -270,6 +311,21 @@ class RetrievedBatch:
         with jax.enable_x64():
             bits = _label_bits_program(
                 cand, jnp.asarray(self.session), *label_keys
+            )
+        return meta, bits
+
+    def pack_meta_labels_select(self, label_keys, key, neg_ratio, neg_cap):
+        """pack_meta_labels plus the device-side downsample keep bits
+        (bits 3-5 of the tbits pull; RankerConfig.device_select). Same
+        two handles, same pull bytes — the keep decision rides free."""
+        if isinstance(self._cand, np.ndarray):
+            return None
+        cand = self.cand_device()
+        meta = _pack_meta_program(cand, self.feats)
+        with jax.enable_x64():
+            bits = _label_keep_bits_program(
+                cand, jnp.asarray(self.session), *label_keys, key,
+                int(neg_ratio), int(neg_cap),
             )
         return meta, bits
 

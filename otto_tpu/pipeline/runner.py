@@ -237,25 +237,45 @@ class Pipeline:
         from otto_tpu.eval.per_source import SrcFlagBatch
 
         # crash-resume fast path (a mid-training or mid-pass-B crash must
-        # not cost another ~70-min pass A at reference scale): when every
-        # ranker artifact AND the pass-A metrics snapshot are cached, go
-        # straight to the scoring pass
+        # not cost another ~70-min pass A at reference scale): when the
+        # pass-A metrics snapshot is cached and every target has EITHER a
+        # trained ranker artifact OR its persisted downsampled rows (the
+        # C15 artifact, written before any training), skip pass A entirely
+        # — train any missing rankers from the persisted rows, then score
         backend = cfg.ranker_backend
         pm_path = self._p("passA-metrics.json")
+
+        def _load_rows(tname):
+            # reload the persisted C15 artifact instead of keeping ~25 GB
+            # of f16 rows resident across all three targets (host OOM risk
+            # at reference scale; the r4 back half died here)
+            z = np.load(self._p(f"downsampled-{tname}.npz"))
+            return z["feats"], z["y"], z["session"]
+
         if (
             self.use_cache
             and os.path.exists(pm_path)
-            and all(self._cached(f"ranker-{backend}-{t}.npz") for t in TYPES)
+            and all(
+                self._cached(f"ranker-{backend}-{t}.npz")
+                or self._cached(f"downsampled-{t}.npz")
+                for t in TYPES
+            )
         ):
             with open(pm_path) as fh:
                 metrics = json.load(fh)
-            rankers = self.load_rankers()
+            rankers = {
+                t: self._train_ranker_cached(t, lambda t=t: _load_rows(t), t0)
+                for t in TYPES
+            }
             self._log("pass A + rankers (cached)", t0)
             preds = self._score_pass(retriever, test, rankers, batch_sessions)
             self._log("score (pass B)", t0)
             return self._submit_and_eval(preds, labels, metrics, t0)
 
         rngs = {t: np.random.default_rng(42) for t in TYPES}
+        # device-side downsample selection (keep bits fused into the
+        # pass-A meta dispatch; RankerConfig.device_select)
+        dev_sel = bool(getattr(cfg.ranker, "device_select", False))
         rows = {t: [] for t in TYPES}    # downsampled (feats, y, sess)
         sess_acc, cand_acc, flag_batches = [], [], []
         n_sessions = 0
@@ -340,22 +360,36 @@ class Pipeline:
                 )
             t = time.time()
             if tbits is not None:
-                tgt = np.stack(
-                    [(tbits >> ti) & 1 for ti in range(3)], axis=-1
-                ).astype(np.float32)
+                tgt = None
+                if not dev_sel:
+                    tgt = np.stack(
+                        [(tbits >> ti) & 1 for ti in range(3)], axis=-1
+                    ).astype(np.float32)
             else:
                 tgt = join_labels([b], labels)[0]
             ph["join"] += time.time() - t
-            # select per type on host, then ONE padded device gather for all
-            # three types (each eager gather is a tunnel round-trip)
+            # select per type: device keep bits (bits 3-5 of the tbits
+            # pull, RankerConfig.device_select) reduce the host's share to
+            # np.nonzero; the host fallback runs three [S, C] argsorts.
+            # Either way, ONE padded device gather then covers all three
+            # types (each eager gather is a tunnel round-trip)
             t = time.time()
             sels = {}
-            for tname in TYPES:
-                got = rank_engine.downsample_select(
-                    b, tgt, TYPE2ID[tname], cfg.ranker, rngs[tname]
-                )
-                if got is not None:
-                    sels[tname] = got
+            if dev_sel and tbits is not None:
+                for tname in TYPES:
+                    tid = TYPE2ID[tname]
+                    si, ci = np.nonzero((tbits >> (3 + tid)) & 1)
+                    if len(si) == 0:
+                        continue
+                    y = ((tbits[si, ci] >> tid) & 1).astype(np.float32)
+                    sels[tname] = (si, ci, y)
+            else:
+                for tname in TYPES:
+                    got = rank_engine.downsample_select(
+                        b, tgt, TYPE2ID[tname], cfg.ranker, rngs[tname]
+                    )
+                    if got is not None:
+                        sels[tname] = got
             ph["select"] += time.time() - t
             if sels:
                 si_all = np.concatenate([s[0] for s in sels.values()])
@@ -398,10 +432,28 @@ class Pipeline:
         from otto_tpu.engine.retrieval import label_keys_device
 
         lab_keys = label_keys_device(labels)
+        if dev_sel:
+            import jax
+
+            sel_key = jax.random.PRNGKey(cfg.ranker.seed)
+            bidx = [0]  # producer thread only: sequential, no race
+
+            def _pack(b):
+                k = jax.random.fold_in(sel_key, bidx[0])
+                bidx[0] += 1
+                got = b.pack_meta_labels_select(
+                    lab_keys, k, cfg.ranker.neg_to_pos_ratio,
+                    cfg.ranker.max_neg_per_session,
+                )
+                return got or b.pack_meta()
+        else:
+            def _pack(b):
+                return b.pack_meta_labels(lab_keys) or b.pack_meta()
+
         self._pipelined_consume(
             retriever.iter_run(test, batch_sessions=batch_sessions),
             consume_a,
-            pack=lambda b: b.pack_meta_labels(lab_keys) or b.pack_meta(),
+            pack=_pack,
         )
         while pend:
             flush_pend()
@@ -466,9 +518,9 @@ class Pipeline:
         # per-target dirs) BEFORE any ranker trains: a crash mid-training
         # must not lose another target's pass-A rows (ranker iteration also
         # reuses these, scripts/exp_gbdt_rows.py)
-        prepared: Dict[str, tuple] = {}
         for tname in TYPES:
             if self._cached(f"ranker-{backend}-{tname}.npz"):
+                rows[tname] = None
                 continue
             if not rows[tname]:
                 raise ValueError(f"no positive sessions for {tname}")
@@ -484,13 +536,17 @@ class Pipeline:
                 y=y.astype(np.int8),
                 session=sess,
             )
-            prepared[tname] = (feats, y, sess)
-            self._log(f"downsample {tname} persisted", t0, f"{len(y)} rows")
+            n_rows = len(y)
+            # freed here, reloaded per target at training time: holding all
+            # three targets' rows (~25+ GB f16 at reference scale) across
+            # the whole training phase OOMed the r4 run's back half
+            del feats, y, sess, order
+            self._log(f"downsample {tname} persisted", t0, f"{n_rows} rows")
 
         rankers: Dict[str, object] = {}
         for tname in TYPES:
             rankers[tname] = self._train_ranker_cached(
-                tname, lambda tname=tname: prepared.pop(tname), t0
+                tname, lambda tname=tname: _load_rows(tname), t0
             )
 
         # pass B: stream again, score all 3 targets per batch on device

@@ -126,7 +126,17 @@ def main() -> int:
              len(sp.train), record["n_test_sessions"], len(sp.labels))
     flush()
 
-    pipe = Pipeline(cfg=DEFAULT, work_dir=work_dir, n_aids=n_aids)
+    import dataclasses
+
+    cfg = DEFAULT
+    if os.environ.get("OTTO_FS_DEVSELECT", "1") == "1":
+        # device-side downsample keep bits: the host selection's three
+        # [2048, 512] argsorts were ~0.5 s/batch of pass-A consumer time
+        # on the 2-core box (RankerConfig.device_select)
+        cfg = dataclasses.replace(
+            cfg, ranker=dataclasses.replace(cfg.ranker, device_select=True)
+        )
+    pipe = Pipeline(cfg=cfg, work_dir=work_dir, n_aids=n_aids)
     t2 = time.time()
 
     n_fixed = len(record["stages"])  # generate + split rows stay in place

@@ -235,3 +235,35 @@ def test_stale_cache_guard(tiny_cfg, pipeline_metrics):
         Pipeline(cfg=other, work_dir=work, n_aids=1200)
     # use_cache=False overwrites instead of rejecting
     Pipeline(cfg=other, work_dir=work, n_aids=1200, use_cache=False)
+
+
+def test_streaming_device_select(tiny_cfg, pipeline_metrics, tmp_path):
+    """RankerConfig.device_select (the reference-scale pass-A path: keep
+    bits computed on device, host reduced to np.nonzero) must run the
+    streaming pipeline end to end with the retrieval ceiling IDENTICAL to
+    the host path (selection only changes ranker training rows) and the
+    ranked metrics in the same quality regime — the random draws come from
+    the device PRNG, so row-level equality with the host path is not
+    expected."""
+    _, batch_metrics = pipeline_metrics
+    from otto_tpu.data.split import split_events
+    from otto_tpu.data.synthetic import generate
+    from otto_tpu.pipeline.runner import Pipeline
+
+    cfg = dataclasses.replace(
+        tiny_cfg,
+        ranker=dataclasses.replace(tiny_cfg.ranker, device_select=True),
+    )
+    spec = SyntheticSpec(n_sessions=2500, n_aids=1200, mean_len=10,
+                         span_days=21, seed=11)
+    ev = generate(spec)
+    sp = split_events(ev, cfg.data.test_days, cfg.data.seed)
+    pipe = Pipeline(cfg=cfg, work_dir=str(tmp_path), n_aids=spec.n_aids)
+    m = pipe.run_streaming(sp.train, sp.test, sp.labels, batch_sessions=64)
+    assert abs(m["ceiling_total"] - batch_metrics["ceiling_total"]) < 1e-9
+    # same quality regime as the host-selection run (rows differ by draw)
+    assert m["total"] > 0.5 * batch_metrics["total"]
+    # the C15 artifacts exist and carry both classes
+    for t in ("clicks", "carts", "orders"):
+        z = np.load(os.path.join(str(tmp_path), f"downsampled-{t}.npz"))
+        assert len(z["y"]) > 0 and 0 < z["y"].sum() < len(z["y"])

@@ -215,3 +215,65 @@ def test_join_labels(result):
 def test_feature_count():
     assert len(FEATURE_NAMES) >= 100  # ~120-feature catalogue parity
     assert len(set(FEATURE_NAMES)) == len(FEATURE_NAMES)
+
+
+def test_label_keep_bits_program_semantics():
+    """Device downsample keep bits (bits 3-5): label bits match the plain
+    join program; every positive of a positive session keeps; kept
+    negatives per session == min(ratio * n_pos, cap, available negatives);
+    nothing keeps on padding or positive-free sessions; deterministic in
+    the PRNG key."""
+    import jax
+
+    from otto_tpu.engine.retrieval import (
+        AID_BITS,
+        _label_bits_program,
+        _label_keep_bits_program,
+    )
+
+    rng = np.random.default_rng(0)
+    S, C = 64, 96
+    cand = rng.integers(0, 500, (S, C)).astype(np.int32)
+    for i in range(S):
+        cand[i, rng.integers(10, C):] = -1
+    session = np.arange(S, dtype=np.int64) + 1000
+
+    labs = [[], [], []]
+    for t in range(3):
+        for i in range(0, S, 2 + t):   # leaves some sessions positive-free
+            row = cand[i][cand[i] >= 0]
+            for a in row[: 1 + (i % 3)]:
+                labs[t].append((int(session[i]) << AID_BITS) | int(a))
+    ratio, cap = 3, 5
+    with jax.enable_x64():
+        keys = tuple(
+            jnp.asarray(np.sort(np.unique(np.asarray(ls, np.int64))))
+            if ls else jnp.asarray(np.asarray([-1], np.int64))
+            for ls in labs
+        )
+        cand_d, sess_d = jnp.asarray(cand), jnp.asarray(session)
+        base = np.asarray(_label_bits_program(cand_d, sess_d, *keys))
+        bits = np.asarray(_label_keep_bits_program(
+            cand_d, sess_d, *keys, jax.random.PRNGKey(7), ratio, cap
+        ))
+        bits2 = np.asarray(_label_keep_bits_program(
+            cand_d, sess_d, *keys, jax.random.PRNGKey(7), ratio, cap
+        ))
+    np.testing.assert_array_equal(bits, bits2)       # deterministic
+    np.testing.assert_array_equal(bits & 7, base)    # label bits unchanged
+
+    valid = cand >= 0
+    for t in range(3):
+        y = (base >> t) & 1
+        keep = (bits >> (3 + t)) & 1
+        assert not ((keep == 1) & ~valid).any()
+        n_pos = ((y == 1) & valid).sum(1)
+        has = n_pos > 0
+        kept_pos = (keep == 1) & (y == 1)
+        np.testing.assert_array_equal(
+            kept_pos, (y == 1) & valid & has[:, None]
+        )
+        n_neg_avail = (valid & (y == 0)).sum(1)
+        want = np.minimum(np.minimum(ratio * n_pos, cap), n_neg_avail) * has
+        got = ((keep == 1) & (y == 0)).sum(1)
+        np.testing.assert_array_equal(got, want)

@@ -50,6 +50,18 @@ def session_embedding_batch(
     return num / den
 
 
+@jax.jit
+def _session_embedding_batch_stacked(stk: jnp.ndarray, emb_table: jnp.ndarray):
+    """session_embedding_batch over ONE stacked [3, S, L] int32 upload
+    (aid, ts, type), returning f16. Three separate host->device transfers
+    per microbatch were three tunnel round-trips; the f16 pull halves the
+    stage's dominant device->host byte count (12.9M x D f32 = 5.2 GB at
+    reference scale). Embedding magnitudes are O(1), so f16 costs ~1e-3
+    relative error — far under the kmeans quantization it feeds."""
+    e = session_embedding_batch(stk[0], stk[1], stk[2], emb_table)
+    return e.astype(jnp.float16)
+
+
 def compute_session_embeddings(
     padded_batches, emb_table: np.ndarray, lane_budget: int = 1 << 19,
     mesh_ctx=None,
@@ -83,13 +95,22 @@ def compute_session_embeddings(
         )
     from otto_tpu.utils.transfer import fast_pull
 
+    import logging
+    import time
+
+    log = logging.getLogger(__name__)
+
     sids, embs = [], []
     pending = None  # (kept session ids, device embedding handle)
+    ph = {"host_batch": 0.0, "dispatch": 0.0, "pull": 0.0}
+    n_mb = 0
 
     def collect(item):
         sess_keep, e, keep = item
         sids.append(sess_keep)
-        embs.append(fast_pull(e)[keep])
+        # exact-size f32 copy: a view of the pulled f16 grid would keep the
+        # padded base alive (ARCHITECTURE.md lesson 23a)
+        embs.append(fast_pull(e)[keep].astype(np.float32))
 
     # one-batch double buffer (round 4, VERDICT r3 item 7): batch N's
     # device->host pull happens after batch N+1's upload + compute are
@@ -97,28 +118,48 @@ def compute_session_embeddings(
     # tunnel transfer overlaps device work instead of serializing with it
     # — the stage ran at reference-CPU parity purely on per-batch
     # round-trips (821.2 s vs ~720 s, model/kmeans_sessions.py:99-100).
+    t = time.time()
     for p in padded_batches:
         L = p.aid.shape[1]
         rows = max(8, 1 << (max(1, lane_budget // L).bit_length() - 1))
         rows = -(-rows // n_dev) * n_dev  # shard rows evenly
         for mb in iter_microbatches(p, min(rows, 1 << 20)):
-            e = emb_fn(
-                jnp.asarray(mb.aid), jnp.asarray(mb.ts), jnp.asarray(mb.type),
-                table,
-            )
+            ph["host_batch"] += time.time() - t
+            t = time.time()
+            if n_dev > 1:
+                e = emb_fn(
+                    jnp.asarray(mb.aid), jnp.asarray(mb.ts),
+                    jnp.asarray(mb.type), table,
+                )
+            else:
+                # ONE stacked upload instead of three (each host->device
+                # transfer is a tunnel round-trip), f16 result
+                e = _session_embedding_batch_stacked(
+                    jnp.asarray(np.stack([mb.aid, mb.ts, mb.type])), table
+                )
             try:
                 e.copy_to_host_async()
             except (AttributeError, NotImplementedError):
                 pass
             keep = mb.session >= 0
+            ph["dispatch"] += time.time() - t
+            t = time.time()
             if pending is not None:
                 collect(pending)
             pending = (mb.session[keep], e, keep)
+            n_mb += 1
+            ph["pull"] += time.time() - t
+            t = time.time()
     if pending is not None:
         collect(pending)
     session = np.concatenate(sids)
     emb = np.concatenate(embs)
     order = np.argsort(session)
+    log.info(
+        "session_emb: %d microbatches, phases %s",
+        n_mb,
+        {k: f"{v:.1f}s" for k, v in ph.items()},
+    )
     return session[order], emb[order]
 
 

@@ -759,10 +759,16 @@ class Pipeline:
             z = np.load(self._p("session_emb.npz"))
             sess_ids, sess_emb = z["session"], z["emb"]
         else:
+            tp = time.time()
+            packed = pack_sessions(full)
+            log.info("session_emb: pack_sessions %.1fs", time.time() - tp)
             sess_ids, sess_emb = compute_session_embeddings(
-                pack_sessions(full), aid_emb, mesh_ctx=self.mesh
+                packed, aid_emb, mesh_ctx=self.mesh
             )
-            np.savez_compressed(
+            del packed
+            # uncompressed: zlib over the [12.9M, D] f32 grid (~5 GB) costs
+            # minutes on the 2-core host vs seconds of raw disk write
+            np.savez(
                 self._p("session_emb.npz"), session=sess_ids, emb=sess_emb
             )
         self._log("session_emb", t0)

@@ -110,9 +110,12 @@ def main() -> int:
         print(f"# bucket L={p.max_len}: {p.n_sessions} sessions, "
               f"{len(mbs)} batches", file=sys.stderr)
 
+    # constant across batches: building these per call was two eager
+    # device allocations (= two tunnel dispatches) inside the timed loop
+    cluster = jnp.zeros((batch_s,), jnp.int32)
+    semb = jnp.zeros((batch_s, 100), jnp.float32)
+
     def run_one(mb):
-        cluster = jnp.zeros((batch_s,), jnp.int32)
-        semb = jnp.zeros((batch_s, 100), jnp.float32)
         return retrieve_batch(
             (jnp.asarray(mb.aid), jnp.asarray(mb.ts), jnp.asarray(mb.type)),
             ctx, cluster, semb, trim,

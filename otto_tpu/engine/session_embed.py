@@ -89,8 +89,13 @@ def compute_session_embeddings(
         n_dev = mesh_ctx.mesh.shape[mesh_ctx.data_axis]
         sh = NamedSharding(mesh_ctx.mesh, P(mesh_ctx.data_axis))
         repl = NamedSharding(mesh_ctx.mesh, P())
+        # f16 result like the single-device path: both paths must round
+        # identically or the 1-vs-N pipeline invariance breaks downstream
+        # (kmeans clusters -> popularity candidates -> retrieval ceiling)
         emb_fn = jax.jit(
-            session_embedding_batch,
+            lambda a, t, ty, e: session_embedding_batch(a, t, ty, e).astype(
+                jnp.float16
+            ),
             in_shardings=(sh, sh, sh, repl), out_shardings=sh,
         )
     from otto_tpu.utils.transfer import fast_pull

@@ -32,9 +32,10 @@ def test_session_embeddings_sharded_matches_single(mesh4):
     s1, e1 = compute_session_embeddings(packs, table)
     sn, en = compute_session_embeddings(packs, table, mesh_ctx=mesh4)
     np.testing.assert_array_equal(s1, sn)
-    # the single-device path pulls f16 (halves the stage's device->host
-    # bytes); the sharded path stays f32 — tolerance covers the f16 step
-    np.testing.assert_allclose(e1, en, rtol=2e-3, atol=2e-3)
+    # both paths round to f16 on device (halves the stage's device->host
+    # bytes) with identical arithmetic, so results stay bit-equal — the
+    # 1-vs-N pipeline ceiling invariance depends on this
+    np.testing.assert_allclose(e1, en, rtol=0, atol=0)
 
 
 def test_session_embeddings_stacked_f16_close_to_exact():
